@@ -1,0 +1,28 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+The environment registers a TPU ('axon') PJRT plugin for every interpreter
+and pins JAX_PLATFORMS=axon, so the env-var route is not enough — we override
+via jax.config before any backend is initialized.  XLA_FLAGS must be set
+before first backend use to get the 8 virtual CPU devices used by the
+sharding tests.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(21)

@@ -1,0 +1,153 @@
+"""Golden-value unit tests for the core ops vs sequential numpy replicas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virus_nerf_tpu.ops import (
+    calc_dt,
+    mip_from_dt,
+    mip_from_pos,
+    morton3d,
+    morton3d_invert,
+    packbits,
+    unpackbits,
+    ray_aabb_intersect,
+    sh_encode,
+    trunc_exp,
+)
+from virus_nerf_tpu.ops.hash_encoder import HashGridSpec, hash_encode
+
+from reference_impl import (
+    calc_dt_np,
+    hash_encode_np,
+    mip_from_dt_np,
+    mip_from_pos_np,
+    morton3d_np,
+)
+
+
+def test_morton_roundtrip(rng):
+    coords = rng.integers(0, 128, size=(1000, 3)).astype(np.int32)
+    codes = np.asarray(morton3d(jnp.asarray(coords)))
+    expected = np.array([morton3d_np(*c) for c in coords])
+    np.testing.assert_array_equal(codes, expected)
+    inv = np.asarray(morton3d_invert(jnp.asarray(codes)))
+    np.testing.assert_array_equal(inv, coords)
+
+
+def test_packbits_roundtrip(rng):
+    grid = rng.random(128 * 8).astype(np.float32)
+    bf = np.asarray(packbits(jnp.asarray(grid), 0.5))
+    bits = np.asarray(unpackbits(jnp.asarray(bf)))
+    np.testing.assert_array_equal(bits, grid > 0.5)
+    # golden: byte 0 bit pattern
+    manual = sum((1 << i) for i in range(8) if grid[i] > 0.5)
+    assert bf[0] == manual
+
+
+def test_trunc_exp_grad():
+    g = jax.grad(lambda x: trunc_exp(x))(20.0)
+    # gradient uses clamped input exp(15), value is exp(20)
+    np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-6)
+    np.testing.assert_allclose(trunc_exp(2.0), np.exp(2.0), rtol=1e-6)
+
+
+def test_sh_encode_partition_of_unity(rng):
+    d = rng.normal(size=(100, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    emb = np.asarray(sh_encode(jnp.asarray((d + 1) / 2)))
+    assert emb.shape == (100, 16)
+    # golden check of a few coefficients
+    x, y, z = ((d + 1) / 2).T
+    np.testing.assert_allclose(emb[:, 1], -0.48860251190291987 * y, rtol=1e-5)
+    np.testing.assert_allclose(
+        emb[:, 6], 0.94617469575755997 * z**2 - 0.31539156525251999, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        emb[:, 15], 0.59004358992664352 * x * (-(x**2) + 3.0 * y**2), rtol=1e-4
+    )
+
+
+def test_ray_aabb(rng):
+    # ray from origin along +x inside cube [-0.5, 0.5]^3
+    o = jnp.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    hits = np.asarray(ray_aabb_intersect(o, d, 0.5))
+    # inside: t1 clamps to NEAR_DISTANCE, t2 = 0.5
+    np.testing.assert_allclose(hits[0], [0.01, 0.5], atol=1e-6)
+    # behind: miss
+    np.testing.assert_allclose(hits[1], [-1.0, -1.0])
+    # in front: t1 = 1.5, t2 = 2.5
+    np.testing.assert_allclose(hits[2], [1.5, 2.5], atol=1e-6)
+
+
+def test_calc_dt_and_mips(rng):
+    for esf in (0.0, 1.0 / 256.0):
+        ts = rng.random(100).astype(np.float32) * 3
+        got = np.asarray(calc_dt(jnp.asarray(ts), esf, 128, 0.5))
+        want = [calc_dt_np(t, esf, 128, 0.5) for t in ts]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    xyz = (rng.random((200, 3)).astype(np.float32) - 0.5) * 4
+    for cascades in (1, 3):
+        got = np.asarray(mip_from_pos(jnp.asarray(xyz), cascades))
+        want = [mip_from_pos_np(p, cascades) for p in xyz]
+        np.testing.assert_array_equal(got, want)
+        dts = rng.random(200).astype(np.float32) * 0.1
+        got = np.asarray(mip_from_dt(jnp.asarray(dts), 128, cascades))
+        want = [mip_from_dt_np(t, 128, cascades) for t in dts]
+        np.testing.assert_array_equal(got, want)
+
+
+class TestHashEncoder:
+    def test_spec_layout(self):
+        spec = HashGridSpec.create(
+            levels=16, feat_dim=2, base_res=16, max_res=1024, max_params=2**19
+        )
+        # level 0: res 16, dense, 16^3 = 4096 rows
+        assert spec.resolutions[0] == 16
+        assert spec.sizes[0] == 4096
+        assert spec.offsets[0] == 0
+        # all sizes 8-aligned and capped
+        assert all(s % 8 == 0 for s in spec.sizes)
+        assert all(s <= 2**19 for s in spec.sizes)
+        # log_b for 16 -> 1024 over 16 levels (reference comment value family)
+        np.testing.assert_allclose(spec.log_b, np.log(1024 / 16) / 15)
+        # fast hashing starts once res^3 > 2^19 (res >= 81)
+        first_fast = next(
+            i for i, r in enumerate(spec.resolutions) if r**3 > 2**19
+        )
+        assert spec.begin_fast_hash_level == first_fast
+        assert spec.total_rows == sum(spec.sizes)
+
+    def test_matches_reference_loop(self, rng):
+        spec = HashGridSpec.create(
+            levels=8, feat_dim=2, base_res=4, max_res=64, max_params=2**10
+        )
+        table = rng.random(spec.total_params).astype(np.float32)
+        xyz = rng.random((32, 3)).astype(np.float32)
+        got = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(xyz), spec))
+        want = hash_encode_np(table, xyz, spec)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_gradient_is_scatter_add(self, rng):
+        spec = HashGridSpec.create(
+            levels=2, feat_dim=2, base_res=4, max_res=8, max_params=2**9
+        )
+        table = jnp.asarray(rng.random(spec.total_params).astype(np.float32))
+        xyz = jnp.asarray(rng.random((4, 3)).astype(np.float32))
+
+        def loss(tb):
+            return jnp.sum(hash_encode(tb, xyz, spec) ** 2)
+
+        g = jax.grad(loss)(table)
+        # finite difference check on a few entries
+        eps = 1e-3
+        idxs = np.asarray(jnp.argsort(-jnp.abs(g))[:5])
+        for i in idxs:
+            tp = table.at[i].add(eps)
+            tm = table.at[i].add(-eps)
+            fd = (loss(tp) - loss(tm)) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)

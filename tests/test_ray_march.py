@@ -1,0 +1,133 @@
+"""Ray-march + compositing equivalence vs the sequential reference semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virus_nerf_tpu.ops import composite_rays, march_rays_train, ray_aabb_intersect
+
+from reference_impl import composite_np, march_ray_np
+
+
+def _random_occ(rng, cascades, grid_size, p=0.3):
+    return rng.random((cascades, grid_size**3)) < p
+
+
+def _occ_fn(occ, grid_size):
+    def fn(mip, cell):
+        lin = (cell[0] * grid_size + cell[1]) * grid_size + cell[2]
+        return bool(occ[mip, lin])
+
+    return fn
+
+
+@pytest.mark.parametrize("esf,scale,cascades", [(0.0, 0.5, 1), (1 / 256, 2.0, 3)])
+def test_march_matches_reference(rng, esf, scale, cascades):
+    grid_size = 32
+    n_rays = 16
+    occ = _random_occ(rng, cascades, grid_size, p=0.3)
+
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * scale
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+
+    hits = np.asarray(ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), scale))
+
+    K = 2048 if esf > 0 else 1024
+    res = march_rays_train(
+        jnp.asarray(o),
+        jnp.asarray(d),
+        jnp.asarray(hits),
+        jnp.asarray(occ),
+        jnp.asarray(noise),
+        cascades=cascades,
+        grid_size=grid_size,
+        scale=scale,
+        exp_step_factor=esf,
+        max_samples=K,  # no subsampling -> bit-exact layout
+        n_candidates=K,
+    )
+
+    for r in range(n_rays):
+        ts_ref, dts_ref = march_ray_np(
+            o[r].astype(np.float64),
+            d[r].astype(np.float64),
+            float(hits[r, 0]),
+            float(hits[r, 1]),
+            _occ_fn(occ, grid_size),
+            cascades,
+            grid_size,
+            scale,
+            esf,
+            max_samples=K,
+            noise=float(noise[r]),
+        )
+        n = int(res.n_samples[r])
+        assert n == len(ts_ref), f"ray {r}: {n} vs {len(ts_ref)}"
+        if n:
+            np.testing.assert_allclose(
+                np.asarray(res.ts[r, :n]), ts_ref, rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.deltas[r, :n]), dts_ref, rtol=2e-4, atol=2e-6
+            )
+            assert bool(np.all(np.asarray(res.valid[r, :n])))
+            assert not bool(np.any(np.asarray(res.valid[r, n:])))
+
+
+def test_march_subsampling_covers_range(rng):
+    """With a small budget the stride-subsampled samples must span the same
+    t-range and conserve total represented delta."""
+    grid_size = 16
+    occ = np.ones((1, grid_size**3), dtype=bool)
+    o = np.zeros((1, 3), dtype=np.float32)
+    d = np.array([[1.0, 0.0, 0.0]], dtype=np.float32)
+    hits = np.asarray(ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), 0.5))
+    noise = np.zeros(1, dtype=np.float32)
+
+    S = 16
+    res = march_rays_train(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(hits), jnp.asarray(occ),
+        jnp.asarray(noise), cascades=1, grid_size=grid_size, scale=0.5,
+        exp_step_factor=0.0, max_samples=S, n_candidates=1024,
+    )
+    n_valid = int(res.n_samples[0])
+    assert n_valid > S  # overflow triggered
+    # all S slots valid, deltas sum to the full represented span
+    assert bool(np.all(np.asarray(res.valid[0])))
+    dt = 1.7320508075688772 / 1024
+    np.testing.assert_allclose(
+        float(jnp.sum(res.deltas[0])), n_valid * dt, rtol=1e-5
+    )
+    # ts increasing and spanning ~[t1, t2]
+    ts = np.asarray(res.ts[0])
+    assert np.all(np.diff(ts) > 0)
+    assert ts[-1] > 0.9 * hits[0, 1]
+
+
+def test_composite_matches_reference(rng):
+    n_rays, S = 8, 32
+    sigmas = rng.random((n_rays, S)).astype(np.float32) * 30
+    rgbs = rng.random((n_rays, S, 3)).astype(np.float32)
+    deltas = np.full((n_rays, S), 0.01, dtype=np.float32)
+    ts = np.cumsum(deltas, axis=1).astype(np.float32)
+    n_samples = rng.integers(0, S + 1, size=n_rays)
+    valid = np.arange(S)[None, :] < n_samples[:, None]
+
+    out = composite_rays(
+        jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(deltas),
+        jnp.asarray(ts), jnp.asarray(valid), T_threshold=1e-4,
+    )
+    for r in range(n_rays):
+        n = int(n_samples[r])
+        opacity, depth, rgb, ws, count = composite_np(
+            sigmas[r, :n], rgbs[r, :n], deltas[r, :n], ts[r, :n], 1e-4
+        )
+        np.testing.assert_allclose(float(out.opacity[r]), opacity, rtol=1e-4)
+        np.testing.assert_allclose(float(out.depth[r]), depth, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.rgb[r]), rgb, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.ws[r, :n]), ws, rtol=1e-4, atol=1e-7
+        )
+        assert int(out.vr_samples[r]) == count

@@ -1,0 +1,178 @@
+"""Multiresolution hash-grid encoder, TPU-native.
+
+Replicates the reference's table layout and indexing exactly
+(reference: modules/hash_encoder.py:44-145,183-207; modules/utils.py:19-42):
+
+- per-level scale ``base_res * exp(level * log_b) - 1`` with
+  ``log_b = ln(max_res/base_res)/(levels-1)``,
+- per-level table size ``min(2^log2_T, align8(res^3))`` packed into one flat
+  parameter vector via cumulative offsets,
+- dense ("under hash") indexing below ``begin_fast_hash_level`` and
+  XOR-prime hashing (primes 1, 2654435761, 805459861) above it,
+- trilinear interpolation over the 8 cell corners.
+
+The forward is a batched XLA gather over (N, levels, 8) corner rows; JAX
+autodiff derives the backward as a scatter-add into the table — the exact
+gradient the reference gets from Taichi autodiff
+(modules/hash_encoder.py:264-277).  The table may be bf16 (the TPU-native
+equivalent of the reference's fp16 variant, modules/hash_encoder_half.py);
+interpolation always accumulates in f32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+def _align_to(x: int, y: int) -> int:
+    # reference: modules/utils.py:41-42
+    return int((x + y - 1) // y) * y
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    """Static layout of the multiresolution hash table."""
+
+    levels: int
+    feat_dim: int
+    base_res: float
+    log_b: float
+    offsets: Tuple[int, ...]  # per-level row offset into the flat table
+    sizes: Tuple[int, ...]  # per-level number of rows
+    scales: Tuple[float, ...]  # per-level grid scale (res - 1 before ceil)
+    resolutions: Tuple[int, ...]
+    begin_fast_hash_level: int
+    total_rows: int
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.feat_dim
+
+    @property
+    def total_params(self) -> int:
+        return self.total_rows * self.feat_dim
+
+    @staticmethod
+    def create(
+        levels: int = 16,
+        feat_dim: int = 2,
+        base_res: float = 16.0,
+        max_res: float = 2048.0,
+        max_params: int = 2**19,
+    ) -> "HashGridSpec":
+        # reference: modules/utils.py:31-39, modules/hash_encoder.py:183-207
+        log_b = float(np.log(float(max_res) / float(base_res)) / float(levels - 1))
+        offsets, sizes, scales, resolutions = [], [], [], []
+        offset = 0
+        begin_fast = levels
+        for i in range(levels):
+            scale = float(base_res) * float(np.exp(i * log_b)) - 1.0
+            res = int(np.ceil(scale)) + 1
+            full_size = res**3
+            full_aligned = _align_to(full_size, 8)
+            size_i = min(int(max_params), full_aligned)
+            offsets.append(offset)
+            sizes.append(size_i)
+            scales.append(scale)
+            resolutions.append(res)
+            if full_size > size_i and begin_fast == levels:
+                begin_fast = i
+            offset += size_i
+        return HashGridSpec(
+            levels=levels,
+            feat_dim=feat_dim,
+            base_res=float(base_res),
+            log_b=log_b,
+            offsets=tuple(offsets),
+            sizes=tuple(sizes),
+            scales=tuple(scales),
+            resolutions=tuple(resolutions),
+            begin_fast_hash_level=begin_fast,
+            total_rows=offset,
+        )
+
+    def init_table(self, key, dtype=jnp.float32):
+        """Uniform[0,1) init, matching torch.nn.init.uniform_ defaults
+        (reference: modules/hash_encoder.py:220-227)."""
+        import jax
+
+        return jax.random.uniform(
+            key, (self.total_params,), dtype=jnp.float32
+        ).astype(dtype)
+
+
+def hash_corner_indices(spec: HashGridSpec, xyz):
+    """Compute per-level, per-corner flat table row indices and trilerp weights.
+
+    Args:
+        spec: static layout.
+        xyz: (N, 3) positions normalized to [0, 1].
+    Returns:
+        rows: (N, L, 8) int32 absolute row indices into the flat table.
+        weights: (N, L, 8) f32 trilinear weights.
+    """
+    scales = jnp.asarray(spec.scales, jnp.float32)  # (L,)
+    resolutions = jnp.asarray(spec.resolutions, jnp.uint32)  # (L,)
+    sizes = jnp.asarray(spec.sizes, jnp.uint32)  # (L,)
+    offsets = jnp.asarray(spec.offsets, jnp.int32)  # (L,)
+
+    pos = xyz[:, None, :].astype(jnp.float32) * scales[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid  # (N, L, 3)
+    pos_grid = pos_grid.astype(jnp.uint32)
+
+    # 8 corners: bit d of corner idx selects low/high along dim d
+    corner = jnp.arange(8, dtype=jnp.uint32)
+    corner_offset = jnp.stack(
+        [(corner >> d) & jnp.uint32(1) for d in range(3)], axis=-1
+    )  # (8, 3)
+
+    grid_local = pos_grid[:, :, None, :] + corner_offset[None, None, :, :]
+    # trilinear weight: prod over dims of (frac if high else 1-frac)
+    w = jnp.where(
+        corner_offset[None, None, :, :] == 1,
+        frac[:, :, None, :],
+        1.0 - frac[:, :, None, :],
+    ).prod(axis=-1)  # (N, L, 8)
+
+    # dense indexing (levels below begin_fast_hash_level)
+    res = resolutions[None, :, None]
+    under = (
+        grid_local[..., 0]
+        + grid_local[..., 1] * res
+        + grid_local[..., 2] * res * res
+    )
+    # XOR-prime fast hash (reference: modules/hash_encoder.py:43-51)
+    fast = (
+        grid_local[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ grid_local[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ grid_local[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    level_is_dense = (
+        jnp.arange(spec.levels, dtype=jnp.int32) < spec.begin_fast_hash_level
+    )
+    idx = jnp.where(level_is_dense[None, :, None], under, fast) % sizes[None, :, None]
+    rows = offsets[None, :, None] + idx.astype(jnp.int32)
+    return rows, w
+
+
+def hash_encode(table, xyz, spec: HashGridSpec):
+    """Encode positions through the multiresolution hash grid.
+
+    Args:
+        table: (total_rows * feat_dim,) flat parameter vector (f32 or bf16).
+        xyz: (N, 3) positions in [0, 1].
+        spec: static layout.
+    Returns:
+        (N, levels * feat_dim) f32 embedding.
+    """
+    rows, w = hash_corner_indices(spec, xyz)  # (N, L, 8), (N, L, 8)
+    feats = table.reshape(spec.total_rows, spec.feat_dim)[rows]  # (N, L, 8, F)
+    out = jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=2)  # (N, L, F)
+    return out.reshape(xyz.shape[0], spec.out_dim)
