@@ -1,0 +1,171 @@
+"""End-to-end training tests on the synthetic dataset: the loss decreases,
+depth converges toward ground truth, both grid variants run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virus_nerf_tpu.configs.config import Config, load_config
+from virus_nerf_tpu.data import make_synthetic_dataset, sample_batch
+from virus_nerf_tpu.models.renderer import render_rays
+from virus_nerf_tpu.training import Trainer, compute_loss, LossWeights
+from virus_nerf_tpu.training.loss import _masked_mse
+
+
+class TestLoss:
+    def _fake(self, rng, n=64):
+        from virus_nerf_tpu.data.dataset import Batch
+
+        depth_gt = rng.random(n).astype(np.float32) + 0.2
+        uss = depth_gt.copy()
+        uss[: n // 4] = np.nan
+        batch = Batch(
+            img_idxs=jnp.zeros(n, jnp.int32),
+            pix_idxs=jnp.zeros(n, jnp.int32),
+            rays_o=jnp.zeros((n, 3)),
+            rays_d=jnp.zeros((n, 3)),
+            rgb=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+            depths={
+                "RGBD": jnp.asarray(depth_gt),
+                "ToF": jnp.asarray(uss),
+                "USS": jnp.asarray(uss),
+            },
+            times=jnp.zeros(n),
+        )
+        results = {
+            "rgb": jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+            "depth": jnp.asarray(rng.random(n).astype(np.float32) + 0.2),
+        }
+        return results, batch
+
+    def test_color_and_sensor_terms(self, rng):
+        results, batch = self._fake(rng)
+        w = LossWeights(color=2.0, rgbd=3.0, tof=5.0, uss=7.0, uss_depth_tol=0.01)
+        total, d = compute_loss(results, batch, w, sensors=("RGBD", "ToF", "USS"))
+        np.testing.assert_allclose(
+            float(d["color"]),
+            2.0 * np.mean((np.asarray(results["rgb"]) - np.asarray(batch.rgb)) ** 2),
+            rtol=1e-5,
+        )
+        # rgbd: plain mse (all valid)
+        np.testing.assert_allclose(
+            float(d["rgbd"]),
+            3.0
+            * np.mean(
+                (np.asarray(results["depth"]) - np.asarray(batch.depths["RGBD"]))
+                ** 2
+            ),
+            rtol=1e-5,
+        )
+        # tof: masked mse over valid
+        tof = np.asarray(batch.depths["ToF"])
+        valid = ~np.isnan(tof)
+        pred = np.asarray(results["depth"])
+        np.testing.assert_allclose(
+            float(d["ToF"]),
+            5.0 * np.mean((pred[valid] - tof[valid]) ** 2),
+            rtol=1e-5,
+        )
+        # uss hinge: only depth < meas - tol contributes
+        uss = np.asarray(batch.depths["USS"])
+        close = valid & (pred < uss - 0.01)
+        expect = (
+            7.0 * np.mean((pred[close] - uss[close]) ** 2) if close.any() else 0.0
+        )
+        np.testing.assert_allclose(float(d["USS"]), expect, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(total),
+            float(d["color"]) + float(d["rgbd"]) + float(d["ToF"]) + float(d["USS"]),
+            rtol=1e-5,
+        )
+
+    def test_all_invalid_gives_zero(self, rng):
+        results, batch = self._fake(rng)
+        batch.depths["ToF"] = jnp.full_like(batch.depths["ToF"], jnp.nan)
+        w = LossWeights()
+        total, d = compute_loss(results, batch, w, sensors=("ToF",))
+        assert float(d["ToF"]) == 0.0
+        assert np.isfinite(float(total))
+
+
+def _tiny_config(grid_type="occ", **training_overrides):
+    cfg = Config()
+    cfg.dataset.name = "synthetic"
+    cfg.model.grid_type = grid_type
+    cfg.model.grid_size = 32
+    cfg.model.hash_levels = 8
+    cfg.model.hash_log2_T = 15
+    cfg.model.hash_max_res = 128
+    cfg.training.batch_size = 256
+    cfg.training.max_steps = 30
+    cfg.training.max_time = 300.0
+    cfg.training.max_samples_per_ray = 48
+    cfg.training.march_candidates = 512
+    cfg.training.sampling_strategy = {
+        "imgs": "all",
+        "pixs": {"valid_uss": 0.4, "valid_tof": 0.4},
+    }
+    cfg.training.sensors = ["USS", "ToF"]
+    cfg.evaluation.eval_every_n_steps = 10
+    cfg.occ_grid.batch_size = 128
+    cfg.occ_grid.update_interval = 4
+    cfg.ngp_grid.update_interval = 4
+    cfg.ngp_grid.warmup_steps = 8
+    for k, v in training_overrides.items():
+        setattr(cfg.training, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("grid_type", ["occ", "ngp"])
+def test_train_loop_decreases_loss(grid_type):
+    cfg = _tiny_config(grid_type)
+    dataset, scene, info = make_synthetic_dataset(n_images=8, img_wh=(32, 24))
+    trainer = Trainer(cfg, dataset, scene=scene)
+    state = trainer.train()
+    assert int(state.step) == cfg.training.max_steps
+    losses = trainer.logs["loss"]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses[-1])
+
+
+def test_train_depth_converges():
+    """After training with depth supervision, rendered depth along training
+    rays should approach the RGBD ground truth."""
+    cfg = _tiny_config("occ", max_steps=300)
+    cfg.training.sensors = ["RGBD"]
+    cfg.training.sampling_strategy = {"imgs": "all", "pixs": "random"}
+    dataset, scene, info = make_synthetic_dataset(n_images=8, img_wh=(32, 24))
+    trainer = Trainer(cfg, dataset, scene=scene)
+    state = trainer.train()
+
+    batch = sample_batch(
+        dataset, jax.random.PRNGKey(123), 512, {"imgs": "all", "pixs": "random"}
+    )
+    out = render_rays(
+        trainer.model, state.params, state.grid.occ_bool,
+        batch.rays_o, batch.rays_d, jax.random.PRNGKey(7),
+        max_samples=cfg.training.max_samples_per_ray,
+        n_candidates=cfg.training.march_candidates, jitter=False,
+    )
+    gt = np.asarray(batch.depths["RGBD"])
+    pred = np.asarray(out["depth"])
+    err = np.abs(pred - gt)
+    # median depth error below ~7% of the mean scene depth
+    assert np.median(err) < 0.07 * np.mean(gt), (
+        np.median(err), np.mean(gt))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_config("occ", max_steps=3)
+    dataset, scene, _ = make_synthetic_dataset(n_images=4, img_wh=(32, 24))
+    trainer = Trainer(cfg, dataset, scene=scene)
+    state = trainer.train()
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save_checkpoint(state, path)
+    template = trainer.init_state()
+    restored = trainer.load_checkpoint(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params.pos_table), np.asarray(state.params.pos_table)
+    )
+    assert int(restored.step) == int(state.step)

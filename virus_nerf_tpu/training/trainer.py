@@ -1,0 +1,360 @@
+"""Trainer: the jitted train step + host orchestration loop.
+
+Counterpart of the reference Trainer/TrainerBase
+(reference: training/trainer.py:29-165, training/trainer_base.py:18-322),
+redesigned functionally: all mutable state lives in one ``TrainState``
+pytree; the hot path (batch sampling -> occupancy-guided render -> fused
+loss -> Adam update) is a single jitted pure function; the occupancy-grid
+update is a second jitted function invoked every ``grid_update_interval``
+steps (reference: training/trainer.py:106-120).  No GradScaler is needed —
+compute stays f32/bf16 with f32 accumulation instead of fp16+loss-scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from virus_nerf_tpu.configs.config import Config
+from virus_nerf_tpu.data.dataset import Batch, DeviceDataset, sample_batch
+from virus_nerf_tpu.data.scene import Scene
+from virus_nerf_tpu.grids.ngp_grid import NGPGridState, ngp_grid_init, ngp_grid_update
+from virus_nerf_tpu.grids.occupancy_grid import (
+    OccGridHParams,
+    OccGridState,
+    occ_grid_init,
+    occ_grid_update,
+)
+from virus_nerf_tpu.models.ngp import NGPModel
+from virus_nerf_tpu.models.renderer import render_rays
+from virus_nerf_tpu.ops.common import MAX_SAMPLES
+from virus_nerf_tpu.training.loss import LossWeights, compute_loss
+from virus_nerf_tpu.utils.logging import make_logger
+
+logger = logging.getLogger("virus_nerf_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any  # NGPParams
+    opt_state: Any
+    grid: Any  # OccGridState | NGPGridState
+    key: jax.Array
+    step: jax.Array  # () int32
+
+
+class Trainer:
+    """Host-side orchestration around the jitted step functions."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_dataset: DeviceDataset,
+        test_dataset: Optional[DeviceDataset] = None,
+        scene: Optional[Scene] = None,
+    ):
+        self.cfg = cfg
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.scene = scene
+        self.logger = make_logger(cfg)
+
+        self.model = NGPModel(
+            scale=cfg.model.scale,
+            pos_encoder_type=cfg.model.encoder_type,
+            levels=cfg.model.hash_levels,
+            log2_T=cfg.model.hash_log2_T,
+            base_res=cfg.model.hash_base_res,
+            max_res=cfg.model.hash_max_res,
+            xyz_net_width=cfg.model.xyz_net_width,
+            xyz_net_depth=cfg.model.xyz_net_depth,
+            xyz_net_out_dim=cfg.model.xyz_net_out_dim,
+            rgb_net_width=cfg.model.rgb_net_width,
+            rgb_net_depth=cfg.model.rgb_net_depth,
+            grid_size=cfg.model.grid_size,
+            compute_dtype=cfg.model.dtype,
+        )
+
+        # metric->cube conversions (reference: training/loss.py:29,
+        # modules/occupancy_grid.py:55-58)
+        w2c_scale = scene.w2c(1.0, only_scale=True) if scene is not None else 1.0
+        self.loss_weights = LossWeights(
+            color=cfg.training.color_loss_w,
+            rgbd=cfg.training.rgbd_loss_w,
+            tof=cfg.training.tof_loss_w,
+            uss=cfg.training.uss_loss_w,
+            uss_depth_tol=float(0.03 * w2c_scale),
+            distortion=cfg.training.distortion_loss_w,
+        )
+        self.occ_hp = OccGridHParams(
+            grid_size=cfg.model.grid_size,
+            scale=cfg.model.scale,
+            false_detection_prob_every_m=float(
+                cfg.occ_grid.false_detection_prob_every_m / w2c_scale
+            ),
+            std_every_m=float(cfg.occ_grid.std_every_m * w2c_scale),
+            nerf_pos_noise_every_m=float(
+                cfg.occ_grid.nerf_pos_noise_every_m * w2c_scale
+            ),
+            nerf_threshold_max=cfg.occ_grid.nerf_threshold_max,
+            nerf_threshold_slope=cfg.occ_grid.nerf_threshold_slope,
+            decay_warmup_steps=cfg.occ_grid.decay_warmup_steps,
+            update_interval=cfg.occ_grid.update_interval,
+        )
+        # reference: training/trainer_base.py:84-90
+        self.grid_update_interval = (
+            cfg.occ_grid.update_interval
+            if cfg.model.grid_type == "occ"
+            else cfg.ngp_grid.update_interval
+        )
+
+        self.optimizer = optax.adam(cfg.training.lr, eps=1e-15)
+        self.logs: Dict[str, list] = {
+            "time": [], "step": [], "loss": [], "color_loss": [],
+            "depth_loss": [], "psnr": [], "mnn": [],
+        }
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        k_model, k_grid, k_state = jax.random.split(key, 3)
+        params = self.model.init(k_model)
+        if self.cfg.model.grid_type == "occ":
+            grid = occ_grid_init(k_grid, self.occ_hp)
+        else:
+            grid = ngp_grid_init(self.model.cascades, self.model.grid_size)
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params, opt_state=opt_state, grid=grid, key=k_state,
+            step=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------- train step
+    def _make_train_step(self):
+        cfg = self.cfg
+        model = self.model
+        optimizer = self.optimizer
+        weights = self.loss_weights
+        sensors = tuple(cfg.training.sensors)
+        strategy = cfg.training.sampling_strategy
+        batch_size = cfg.training.batch_size
+        esf = cfg.exp_step_factor
+        max_samples = cfg.training.max_samples_per_ray
+        n_candidates = cfg.training.march_candidates
+        use_time = cfg.training.real_time_simulation
+
+        @jax.jit
+        def train_step(state: TrainState, dataset: DeviceDataset, elapse_time):
+            key, k_batch, k_render = jax.random.split(state.key, 3)
+            batch = sample_batch(
+                dataset, k_batch, batch_size, strategy,
+                elapse_time=elapse_time if use_time else None,
+            )
+
+            def loss_fn(params):
+                results = render_rays(
+                    model, params, state.grid.occ_bool,
+                    batch.rays_o, batch.rays_d, k_render,
+                    exp_step_factor=esf, max_samples=max_samples,
+                    n_candidates=n_candidates,
+                )
+                loss, loss_dict = compute_loss(results, batch, weights, sensors)
+                return loss, (loss_dict, results)
+
+            (loss, (loss_dict, results)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+
+            metrics = {
+                "loss": loss,
+                **{f"loss_{k}": v for k, v in loss_dict.items()},
+                "psnr": -10.0 * jnp.log10(
+                    jnp.mean((results["rgb"] - batch.rgb) ** 2)
+                ),
+                "rm_samples": results["rm_samples"],
+                "vr_samples": results["vr_samples"],
+            }
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state, grid=state.grid,
+                    key=key, step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    # ------------------------------------------------------------ grid update
+    def _make_occ_update(self):
+        cfg = self.cfg
+        model = self.model
+        hp = self.occ_hp
+        sensors = cfg.training.sensors
+        b = cfg.occ_grid.batch_size
+        b_ray = int(b * cfg.occ_grid.batch_ratio_ray_update)
+        b_nerf = b - b_ray
+        use_time = cfg.training.real_time_simulation
+
+        # sensor cascade RGBD -> ToF/USS
+        # (reference: modules/occupancy_grid.py:107-180)
+        if "RGBD" in sensors:
+            ray_sel, nerf_sel = ("random", "RGBD"), ("random", "RGBD")
+        elif "ToF" in sensors and "USS" in sensors:
+            ray_sel, nerf_sel = ("valid_tof", "ToF"), ("valid_uss", "USS")
+        elif "ToF" in sensors:
+            ray_sel, nerf_sel = ("valid_tof", "ToF"), ("valid_tof", "ToF")
+        elif "USS" in sensors:
+            ray_sel, nerf_sel = ("valid_uss", "USS"), ("valid_uss", "USS")
+        else:
+            raise ValueError("occupancy grid needs at least one depth sensor")
+
+        @jax.jit
+        def occ_update(state: TrainState, dataset: DeviceDataset, elapse_time):
+            key, k1, k2, k3 = jax.random.split(state.key, 4)
+            et = elapse_time if use_time else None
+            ray_b = sample_batch(
+                dataset, k1, b_ray, {"imgs": "all", "pixs": ray_sel[0]}, et
+            )
+            nerf_b = sample_batch(
+                dataset, k2, b_nerf, {"imgs": "all", "pixs": nerf_sel[0]}, et
+            )
+            density_fn = lambda x: model.density(state.params, x)
+            grid = occ_grid_update(
+                state.grid, hp, density_fn, k3,
+                ray_batch={
+                    "rays_o": ray_b.rays_o, "rays_d": ray_b.rays_d,
+                    "meas": ray_b.depths[ray_sel[1]],
+                },
+                nerf_batch={
+                    "rays_o": nerf_b.rays_o, "rays_d": nerf_b.rays_d,
+                    "meas": nerf_b.depths[nerf_sel[1]],
+                },
+            )
+            return state._replace(grid=grid, key=key)
+
+        return occ_update
+
+    def _make_ngp_update(self, warmup: bool):
+        model = self.model
+        density_threshold = 0.01 * MAX_SAMPLES / 3**0.5
+        # reference: training/trainer.py:110
+
+        @jax.jit
+        def ngp_update(state: TrainState, dataset: DeviceDataset, elapse_time):
+            key, k = jax.random.split(state.key)
+            density_fn = lambda x: model.density(state.params, x)
+            grid = ngp_grid_update(
+                state.grid, density_fn, k, warmup=warmup,
+                density_threshold=density_threshold,
+                cascades=model.cascades, grid_size=model.grid_size,
+                scale=model.scale,
+            )
+            return state._replace(grid=grid, key=key)
+
+        return ngp_update
+
+    def _get(self, name, factory):
+        if name not in self._compiled:
+            self._compiled[name] = factory()
+        return self._compiled[name]
+
+    # ------------------------------------------------------------------ train
+    def train(self, state: Optional[TrainState] = None) -> TrainState:
+        """Run the training loop (reference: training/trainer.py:87-165):
+        stops at max_steps or max_time, grid update every
+        grid_update_interval steps, periodic logging."""
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        train_step = self._get("train_step", self._make_train_step)
+
+        self.logger.info("----- START TRAINING -----")
+        tic = time.time()
+        step = 0
+        for step in range(cfg.training.max_steps):
+            elapse = jnp.float32(time.time() - tic)
+
+            if step % self.grid_update_interval == 0:
+                if cfg.model.grid_type == "occ":
+                    upd = self._get("occ_update", self._make_occ_update)
+                else:
+                    warmup = step < cfg.ngp_grid.warmup_steps
+                    upd = self._get(
+                        f"ngp_update_{warmup}",
+                        partial(self._make_ngp_update, warmup),
+                    )
+                state = upd(state, self.train_dataset, elapse)
+
+            state, metrics = train_step(state, self.train_dataset, elapse)
+
+            if step % cfg.evaluation.eval_every_n_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.logs["time"].append(time.time() - tic)
+                self.logs["step"].append(step)
+                self.logs["loss"].append(m["loss"])
+                self.logs["color_loss"].append(m.get("loss_color", np.nan))
+                self.logs["depth_loss"].append(m.get("loss_depth", np.nan))
+                self.logs["psnr"].append(m["psnr"])
+                self.logs["mnn"].append(np.nan)
+                self.logger.info(
+                    f"step {step:5d} | loss {m['loss']:.4f} | "
+                    f"psnr {m['psnr']:.2f} | rm {int(m['rm_samples'])} | "
+                    f"vr {int(m['vr_samples'])}"
+                )
+
+            if time.time() - tic > cfg.training.max_time:
+                self.logger.info(f"max_time reached at step {step}")
+                break
+
+        jax.block_until_ready(state.params)
+        self.logger.info(
+            f"----- FINISHED TRAINING ----- {time.time() - tic:.2f}s, "
+            f"iter: {step + 1}"
+        )
+        return state
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, state: TrainState, path: str):
+        """Save full train state (model + optimizer + grid + step) — richer
+        than the reference's weights-only torch.save
+        (training/trainer_base.py:155-168)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        np.savez(
+            path,
+            *[np.asarray(x) for x in flat],
+            treedef=str(treedef),
+        )
+        with open(path + ".json", "w") as f:
+            json.dump(self.cfg.to_dict(), f, indent=2)
+
+    def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
+        data = np.load(path, allow_pickle=False)
+        flat = [data[f"arr_{i}"] for i in range(len(data.files) - 1)]
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in flat]
+        )
+
+    def save_logs(self, path: str):
+        """logs.csv parity (reference: training/trainer_base.py:170-181)."""
+        import csv
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            keys = list(self.logs.keys())
+            w.writerow(keys)
+            for row in zip(*[self.logs[k] for k in keys]):
+                w.writerow(row)
