@@ -61,11 +61,16 @@ def _frexp_exponent(x):
     return jnp.where(x != 0.0, exponent, 0)
 
 
-def mip_from_pos(xyz, cascades: int):
-    """Cascade index from sample position (reference: modules/utils.py:78-84)."""
-    mx = jnp.max(jnp.abs(xyz), axis=-1)
+def mip_from_absmax(mx, cascades: int):
+    """Cascade index from max(|x|,|y|,|z|) — component form of
+    :func:`mip_from_pos` for structure-of-arrays call sites."""
     exponent = _frexp_exponent(mx) + 1
     return jnp.clip(exponent, 0, cascades - 1)
+
+
+def mip_from_pos(xyz, cascades: int):
+    """Cascade index from sample position (reference: modules/utils.py:78-84)."""
+    return mip_from_absmax(jnp.max(jnp.abs(xyz), axis=-1), cascades)
 
 
 def mip_from_dt(dt, grid_size: int, cascades: int):

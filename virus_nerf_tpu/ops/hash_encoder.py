@@ -110,21 +110,28 @@ class HashGridSpec:
 def hash_corner_indices(spec: HashGridSpec, xyz):
     """Compute per-level, per-corner flat table row indices and trilerp weights.
 
+    Layout is batch-minor ``(L, 8, N)``: the batch axis N sits in the
+    TPU lane dimension so every intermediate tiles onto (8, 128) vregs
+    without padding.  The naive ``(N, L, 8)``/``(N, L, 8, F)`` layout puts a
+    tiny axis (8 or feat_dim=2) in the lanes and inflates HBM footprint by
+    up to 64x (observed: 16 GB OOM for a 0.4 GB logical footprint).
+
     Args:
         spec: static layout.
         xyz: (N, 3) positions normalized to [0, 1].
     Returns:
-        rows: (N, L, 8) int32 absolute row indices into the flat table.
-        weights: (N, L, 8) f32 trilinear weights.
+        rows: (L, 8, N) int32 absolute row indices into the flat table.
+        weights: (L, 8, N) f32 trilinear weights.
     """
-    scales = jnp.asarray(spec.scales, jnp.float32)  # (L,)
-    resolutions = jnp.asarray(spec.resolutions, jnp.uint32)  # (L,)
-    sizes = jnp.asarray(spec.sizes, jnp.uint32)  # (L,)
-    offsets = jnp.asarray(spec.offsets, jnp.int32)  # (L,)
+    scales = jnp.asarray(spec.scales, jnp.float32)[:, None, None]  # (L,1,1)
+    resolutions = jnp.asarray(spec.resolutions, jnp.uint32)[:, None, None]
+    sizes = jnp.asarray(spec.sizes, jnp.uint32)[:, None, None]
+    offsets = jnp.asarray(spec.offsets, jnp.int32)[:, None, None]
 
-    pos = xyz[:, None, :].astype(jnp.float32) * scales[None, :, None] + 0.5
+    xyzT = xyz.T.astype(jnp.float32)  # (3, N)
+    pos = xyzT[None, :, :] * scales + 0.5  # (L, 3, N)
     pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid  # (N, L, 3)
+    frac = pos - pos_grid  # (L, 3, N)
     pos_grid = pos_grid.astype(jnp.uint32)
 
     # 8 corners: bit d of corner idx selects low/high along dim d
@@ -133,32 +140,32 @@ def hash_corner_indices(spec: HashGridSpec, xyz):
         [(corner >> d) & jnp.uint32(1) for d in range(3)], axis=-1
     )  # (8, 3)
 
-    grid_local = pos_grid[:, :, None, :] + corner_offset[None, None, :, :]
+    # (L, 8, 3, N) per-corner grid coords and trilerp factors
+    grid_local = pos_grid[:, None, :, :] + corner_offset[None, :, :, None]
     # trilinear weight: prod over dims of (frac if high else 1-frac)
     w = jnp.where(
-        corner_offset[None, None, :, :] == 1,
-        frac[:, :, None, :],
-        1.0 - frac[:, :, None, :],
-    ).prod(axis=-1)  # (N, L, 8)
+        corner_offset[None, :, :, None] == 1,
+        frac[:, None, :, :],
+        1.0 - frac[:, None, :, :],
+    ).prod(axis=2)  # (L, 8, N)
 
     # dense indexing (levels below begin_fast_hash_level)
-    res = resolutions[None, :, None]
     under = (
-        grid_local[..., 0]
-        + grid_local[..., 1] * res
-        + grid_local[..., 2] * res * res
+        grid_local[:, :, 0]
+        + grid_local[:, :, 1] * resolutions
+        + grid_local[:, :, 2] * resolutions * resolutions
     )
     # XOR-prime fast hash (reference: modules/hash_encoder.py:43-51)
     fast = (
-        grid_local[..., 0] * jnp.uint32(_PRIMES[0])
-        ^ grid_local[..., 1] * jnp.uint32(_PRIMES[1])
-        ^ grid_local[..., 2] * jnp.uint32(_PRIMES[2])
+        grid_local[:, :, 0] * jnp.uint32(_PRIMES[0])
+        ^ grid_local[:, :, 1] * jnp.uint32(_PRIMES[1])
+        ^ grid_local[:, :, 2] * jnp.uint32(_PRIMES[2])
     )
     level_is_dense = (
         jnp.arange(spec.levels, dtype=jnp.int32) < spec.begin_fast_hash_level
-    )
-    idx = jnp.where(level_is_dense[None, :, None], under, fast) % sizes[None, :, None]
-    rows = offsets[None, :, None] + idx.astype(jnp.int32)
+    )[:, None, None]
+    idx = jnp.where(level_is_dense, under, fast) % sizes
+    rows = offsets + idx.astype(jnp.int32)
     return rows, w
 
 
@@ -172,7 +179,10 @@ def hash_encode(table, xyz, spec: HashGridSpec):
     Returns:
         (N, levels * feat_dim) f32 embedding.
     """
-    rows, w = hash_corner_indices(spec, xyz)  # (N, L, 8), (N, L, 8)
-    feats = table.reshape(spec.total_rows, spec.feat_dim)[rows]  # (N, L, 8, F)
-    out = jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=2)  # (N, L, F)
-    return out.reshape(xyz.shape[0], spec.out_dim)
+    rows, w = hash_corner_indices(spec, xyz)  # (L, 8, N) each
+    f = jnp.arange(spec.feat_dim, dtype=jnp.int32)
+    # flat element indices, batch-minor: (L, 8, F, N)
+    elem = rows[:, :, None, :] * spec.feat_dim + f[None, None, :, None]
+    feats = table[elem]  # (L, 8, F, N) gather with N in the lanes
+    out = jnp.sum(feats.astype(jnp.float32) * w[:, :, None, :], axis=1)  # (L,F,N)
+    return out.transpose(2, 0, 1).reshape(xyz.shape[0], spec.out_dim)

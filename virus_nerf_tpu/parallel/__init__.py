@@ -1,0 +1,4 @@
+from virus_nerf_tpu.parallel.data_parallel import (  # noqa: F401
+    make_mesh,
+    make_dp_train_step,
+)
