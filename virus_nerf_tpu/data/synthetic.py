@@ -91,6 +91,32 @@ def _raycast(rays_o, rays_d, boxes, box_colors):
     return depth, rgb
 
 
+def _sample_surfaces(rng, boxes: np.ndarray, n_points: int) -> np.ndarray:
+    """Sample points uniformly by area on the room walls + box faces —
+    an exact dense 'GT map' of the analytic scene."""
+    aabbs = np.concatenate(
+        [np.stack([_ROOM_MIN, _ROOM_MAX])[None], boxes], axis=0
+    )  # (B, 2, 3)
+    faces = []  # (axis, side, aabb_idx, area)
+    for b in range(aabbs.shape[0]):
+        ext = aabbs[b, 1] - aabbs[b, 0]
+        for axis in range(3):
+            o1, o2 = (axis + 1) % 3, (axis + 2) % 3
+            area = ext[o1] * ext[o2]
+            for side in range(2):
+                faces.append((axis, side, b, area))
+    areas = np.array([f[3] for f in faces])
+    counts = rng.multinomial(n_points, areas / areas.sum())
+    pts = []
+    for (axis, side, b, _), c in zip(faces, counts):
+        if c == 0:
+            continue
+        p = rng.uniform(aabbs[b, 0], aabbs[b, 1], size=(c, 3))
+        p[:, axis] = aabbs[b, side, axis]
+        pts.append(p)
+    return np.concatenate(pts, axis=0)
+
+
 def make_synthetic_dataset(
     n_images: int = 16,
     img_wh: Tuple[int, int] = (64, 40),
@@ -98,7 +124,7 @@ def make_synthetic_dataset(
     sensors: Tuple[str, ...] = ("RGBD", "USS", "ToF"),
     camera_aov_deg: Tuple[float, float] = (90.0, 65.0),
     tof_matrix: Tuple[int, int] = (8, 8),
-    n_gt_points: int = 50_000,
+    n_gt_points: int = 400_000,
 ) -> Tuple[DeviceDataset, Scene, Dict]:
     """Build a synthetic DeviceDataset + Scene.
 
@@ -136,14 +162,9 @@ def make_synthetic_dataset(
         depths_w[i] = d
         rgbs[i] = c
 
-    # GT point cloud from the rendered surfaces (a "perfect LiDAR map")
-    sel = rng.integers(0, n_images * H * W, n_gt_points)
-    img_i, pix_i = sel // (H * W), sel % (H * W)
-    d_sel = depths_w[img_i, pix_i]
-    dirs_w = np.einsum(
-        "nij,nj->ni", poses[img_i, :, :3], dirs_cam[pix_i]
-    )
-    pts = poses[img_i, :, 3] + dirs_w * d_sel[:, None]
+    # GT point cloud sampled uniformly (by area) on the analytic surfaces —
+    # the exact counterpart of the reference's dense LiDAR map
+    pts = _sample_surfaces(rng, boxes, n_gt_points)
     scene = Scene(point_cloud=pts, xyz_min=_ROOM_MIN, xyz_max=_ROOM_MAX)
 
     # sensor models simulate USS/ToF from dense depth

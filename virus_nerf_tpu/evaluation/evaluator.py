@@ -1,0 +1,357 @@
+"""End-to-end evaluation: color PSNR/SSIM + 2-D mapping NND metrics.
+
+Counterpart of the reference's ``Trainer.evaluate`` pipeline
+(reference: training/trainer.py:167-224,374-813): render 360-degree
+horizontal depth scans from the NeRF, build the matching ground-truth scan by
+ray-casting the GT slice map, project both to the 2-D plane, and compare with
+nearest-neighbour distance metrics in three directions per sensor:
+
+- ``nn``           prediction -> FoV-limited GT   (accuracy),
+- ``nn_inv``       FoV-limited GT -> prediction   (coverage inside FoV),
+- ``nn_inv_360``   full 360-degree GT -> prediction (total coverage).
+
+Rendering is batchified through one fixed-shape jitted render function
+(chunked, last chunk padded) instead of the reference's Python generator
+over variable batches (training/trainer_base.py:183-253).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from virus_nerf_tpu.configs.config import Config
+from virus_nerf_tpu.data.dataset import DeviceDataset
+from virus_nerf_tpu.data.scene import Scene
+from virus_nerf_tpu.evaluation.geometry import create_scan_rays, limit_fov
+from virus_nerf_tpu.evaluation import metrics as M
+from virus_nerf_tpu.models.ngp import NGPModel
+from virus_nerf_tpu.models.renderer import render_rays
+
+
+class Evaluator:
+    """Host-side evaluation orchestration around a jitted render function."""
+
+    def __init__(
+        self,
+        model: NGPModel,
+        cfg: Config,
+        dataset: DeviceDataset,
+        scene: Scene,
+        img_wh: Optional[Tuple[int, int]] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.dataset = dataset
+        self.scene = scene
+        self.img_wh = img_wh
+        self._render_jit = None
+
+    # ------------------------------------------------------------- rendering
+    def _render_chunk_fn(self):
+        if self._render_jit is None:
+            model = self.model
+            esf = self.cfg.exp_step_factor
+            max_samples = self.cfg.evaluation.max_samples_per_ray
+            n_candidates = self.cfg.training.march_candidates
+
+            @jax.jit
+            def render_chunk(params, occ_bool, rays_o, rays_d):
+                out = render_rays(
+                    model, params, occ_bool, rays_o, rays_d,
+                    jax.random.PRNGKey(0),
+                    exp_step_factor=esf, max_samples=max_samples,
+                    n_candidates=n_candidates, jitter=False,
+                )
+                return {
+                    "rgb": out["rgb"], "depth": out["depth"],
+                    "opacity": out["opacity"],
+                }
+
+            self._render_jit = render_chunk
+        return self._render_jit
+
+    def render_batched(
+        self, params, occ_bool, rays_o: np.ndarray, rays_d: np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """Render arbitrarily many rays through the fixed-size jitted chunk
+        (reference: training/trainer_base.py:183-224)."""
+        fn = self._render_chunk_fn()
+        B = self.cfg.evaluation.batch_size
+        n = rays_o.shape[0]
+        outs = {"rgb": [], "depth": [], "opacity": []}
+        for i in range(0, n, B):
+            o = np.asarray(rays_o[i : i + B], np.float32)
+            d = np.asarray(rays_d[i : i + B], np.float32)
+            pad = B - o.shape[0]
+            if pad:
+                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                d = np.concatenate(
+                    [d, np.tile(np.array([[0, 0, 1]], np.float32), (pad, 1))]
+                )
+            res = fn(params, occ_bool, jnp.asarray(o), jnp.asarray(d))
+            for k in outs:
+                v = np.asarray(res[k])
+                outs[k].append(v[: v.shape[0] - pad] if pad else v)
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    # ----------------------------------------------------------- color eval
+    def evaluate_color(
+        self, params, occ_bool, img_idxs: np.ndarray
+    ) -> Dict[str, float]:
+        """Full-image renders -> PSNR/SSIM
+        (reference: training/trainer.py:304-372)."""
+        ds = self.dataset
+        if self.img_wh is None:
+            raise ValueError("Evaluator needs img_wh for color evaluation")
+        W, H = self.img_wh
+        rgbs, gts = [], []
+        for i in np.asarray(img_idxs, int):
+            cam = int(np.asarray(ds.cam_idx[i]))
+            dirs_cam = np.asarray(ds.directions[cam])  # (H*W, 3)
+            pose = np.asarray(ds.poses[i])  # (3, 4)
+            rays_d = dirs_cam @ pose[:3, :3].T
+            rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
+            out = self.render_batched(params, occ_bool, rays_o, rays_d)
+            rgbs.append(out["rgb"].reshape(H, W, 3))
+            gts.append(np.asarray(ds.rgbs[i]).reshape(H, W, 3))
+        rgbs, gts = np.stack(rgbs), np.stack(gts)
+        return {
+            "psnr": M.psnr(rgbs, gts),
+            "ssim": M.ssim(rgbs, gts),
+            "imgs": rgbs,
+            "imgs_gt": gts,
+        }
+
+    # ----------------------------------------------------------- depth data
+    def _scan_origins(self, img_idxs: np.ndarray) -> np.ndarray:
+        """Per-image scan origin = camera position (cube coords)."""
+        return np.asarray(self.dataset.poses)[img_idxs, :3, 3]
+
+    def _get_gt_data(self, img_idxs: np.ndarray):
+        """GT 360-degree scan by ray-casting the GT slice raster
+        (reference: training/trainer.py:534-571)."""
+        ev = self.cfg.evaluation
+        rays_o_c = self._scan_origins(img_idxs)
+        rays_o, rays_d = create_scan_rays(rays_o_c, ev.res_angular)
+        _, depths_c, _ = self.scene.get_slice_scan(
+            res=ev.res_map, rays_o=rays_o, rays_d=rays_d,
+            height_tolerance=ev.height_tolerance, rays_o_in_world_coord=False,
+        )
+        rays_o_w = self.scene.c2w(rays_o)
+        depths_w = self.scene.c2w(depths_c, only_scale=True)
+        return rays_o_w, rays_d, depths_w
+
+    def _get_nerf_data(self, params, occ_bool, img_idxs: np.ndarray):
+        """NeRF 360-degree depth scan (reference: training/trainer.py:573-629)."""
+        ev = self.cfg.evaluation
+        rays_o_c = self._scan_origins(img_idxs)
+        rays_o, rays_d = create_scan_rays(rays_o_c, ev.res_angular)
+        out = self.render_batched(params, occ_bool, rays_o, rays_d)
+        rays_o_w = self.scene.c2w(rays_o)
+        depths_w = self.scene.c2w(out["depth"], only_scale=True)
+        return rays_o_w, rays_d, depths_w
+
+    def _get_sensor_data(self, img_idxs: np.ndarray, sensor: str):
+        """Measured USS/ToF/RGBD depths within the height band, NaN-packed to
+        a common per-image width (reference: training/trainer.py:681-762)."""
+        ds = self.dataset
+        ev = self.cfg.evaluation
+        if sensor == "USS":
+            pix = np.asarray(ds.uss_mask_idx, int)
+        elif sensor == "ToF":
+            pix = np.asarray(ds.tof_mask_idx, int)
+        else:
+            pix = np.arange(ds.n_pixels)
+        N = img_idxs.shape[0]
+        k = pix.shape[0]
+
+        poses = np.asarray(ds.poses)[img_idxs]  # (N, 3, 4)
+        cams = np.asarray(ds.cam_idx)[img_idxs]
+        dirs_all = np.asarray(ds.directions)  # (n_cams, H*W, 3)
+        depth_all = np.asarray(ds.depths[sensor])  # (n_imgs, H*W)
+
+        rays_d = np.einsum(
+            "nij,nkj->nki", poses[:, :3, :3], dirs_all[cams][:, pix]
+        )  # (N, k, 3)
+        rays_o = np.broadcast_to(poses[:, None, :3, 3], rays_d.shape).copy()
+        depths_c = depth_all[img_idxs][:, pix]  # (N, k)
+
+        rays_o_w = self.scene.c2w(rays_o.reshape(-1, 3)).reshape(N, k, 3)
+        depths_w = self.scene.c2w(depths_c, only_scale=True)
+
+        # height-band filter (training/trainer.py:731-735)
+        dz = depths_w * rays_d[:, :, 2]
+        mask = (
+            (dz >= -ev.height_tolerance)
+            & (dz <= ev.height_tolerance)
+            & ~np.isnan(depths_w)
+        )  # (N, k)
+
+        K = int(max(mask.sum(axis=1).max(), 1))
+        rays_o_p = np.full((N, K, 3), np.nan)
+        rays_d_p = np.full((N, K, 3), np.nan)
+        depths_p = np.full((N, K), np.nan)
+        for i in range(N):
+            m = mask[i]
+            c = int(m.sum())
+            rays_o_p[i, :c] = rays_o_w[i, m]
+            rays_d_p[i, :c] = rays_d[i, m]
+            depths_p[i, :c] = depths_w[i, m]
+        return (
+            rays_o_p.reshape(-1, 3),
+            rays_d_p.reshape(-1, 3),
+            depths_p.reshape(-1),
+        )
+
+    # ----------------------------------------------------------- depth eval
+    def evaluate_depth(
+        self,
+        params,
+        occ_bool,
+        img_idxs: np.ndarray,
+        sensors: Iterable[str] = ("GT", "NeRF"),
+        fov: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+        robot_pos: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        """Depth evaluation over sensors (reference: training/trainer.py:374-490).
+
+        Args:
+            img_idxs: (N,) test image indices.
+            sensors: subset of {GT, NeRF, USS, ToF, RGBD}; GT is mandatory and
+                evaluated first.
+            fov: sensor -> {camera: (N, 2) angular ranges} or None for 360°.
+        Returns:
+            (metrics_dict, data_dict) keyed by sensor.
+        """
+        img_idxs = np.asarray(img_idxs, int)
+        N = img_idxs.shape[0]
+        ev = self.cfg.evaluation
+        zones = {k: tuple(v) for k, v in ev.zones.items()}
+
+        metrics_dict: Dict[str, dict] = {}
+        data_dict: Dict[str, dict] = {}
+
+        sensors = list(sensors)
+        if "GT" not in sensors:
+            sensors = ["GT"] + sensors
+        sensors = ["GT"] + [s for s in sensors if s != "GT"]
+
+        for sensor in sensors:
+            if sensor == "GT":
+                rays_o, rays_d, depths = self._get_gt_data(img_idxs)
+            elif sensor == "NeRF":
+                rays_o, rays_d, depths = self._get_nerf_data(
+                    params, occ_bool, img_idxs
+                )
+            else:
+                rays_o, rays_d, depths = self._get_sensor_data(
+                    img_idxs, sensor
+                )
+
+            pos, pos_o, dists = self.scene.depth2pos(rays_o, rays_d, depths)
+
+            if sensor == "GT":
+                data_dict["GT"] = {
+                    "pos": pos, "pos_o": pos_o, "depths": dists,
+                    "rays_o": rays_o,
+                }
+                continue
+
+            if fov is not None and sensor in fov and robot_pos is not None:
+                pos_gt, pos_o_gt = limit_fov(
+                    data_dict["GT"]["pos"], data_dict["GT"]["pos_o"],
+                    fov[sensor], N, robot_pos,
+                )
+            else:
+                pos_gt = data_dict["GT"]["pos"]
+                pos_o_gt = data_dict["GT"]["pos_o"]
+
+            res = {}
+            for suffix, (p, p_ref, ref_is_gt) in {
+                "": (pos, pos_gt, True),
+                "_inv": (pos_gt, pos, False),
+                "_inv_360": (data_dict["GT"]["pos"], pos, False),
+            }.items():
+                nn_dists, mean, median, inlier, too_close = M.nn_metrics(
+                    p, p_ref, dists, data_dict["GT"]["depths"], N,
+                    ref_pos_is_gt=ref_is_gt, zones=zones,
+                    inlier_threshold=ev.inlier_threshold,
+                )
+                res[f"nn_dists{suffix}"] = nn_dists
+                res[f"nn_mean{suffix}"] = mean
+                res[f"nn_median{suffix}"] = median
+                res[f"nn_inlier{suffix}"] = inlier
+                res[f"nn_outlier_too_close{suffix}"] = too_close
+
+            data_dict[sensor] = {
+                "pos": pos, "pos_o": pos_o, "depths": dists,
+                "pos_gt": pos_gt, "pos_o_gt": pos_o_gt,
+            }
+            metrics_dict[sensor] = res
+
+        return metrics_dict, data_dict
+
+    # -------------------------------------------------------------- summary
+    def evaluate(
+        self,
+        params,
+        occ_bool,
+        color_img_idxs: Optional[np.ndarray] = None,
+        depth_img_idxs: Optional[np.ndarray] = None,
+        sensors: Optional[Iterable[str]] = None,
+        save_dir: Optional[str] = None,
+    ) -> Dict[str, dict]:
+        """Full evaluation + optional metrics.csv
+        (reference: training/trainer.py:167-224,868-906)."""
+        ds = self.dataset
+        ev = self.cfg.evaluation
+        n = ds.n_images
+        if color_img_idxs is None:
+            k = ev.num_color_pts if isinstance(ev.num_color_pts, int) else n
+            color_img_idxs = np.linspace(0, n - 1, min(k, n)).astype(int)
+        if depth_img_idxs is None:
+            k = ev.num_depth_pts if isinstance(ev.num_depth_pts, int) else n
+            depth_img_idxs = np.linspace(0, n - 1, min(k, n)).astype(int)
+        if sensors is None:
+            sensors = [
+                s for s in ev.sensors
+                if s in ("GT", "NeRF") or s in ds.depths
+            ]
+
+        color = self.evaluate_color(params, occ_bool, color_img_idxs)
+        metrics_dict, _ = self.evaluate_depth(
+            params, occ_bool, depth_img_idxs, sensors
+        )
+        for key in metrics_dict:
+            metrics_dict[key]["psnr"] = color["psnr"]
+            metrics_dict[key]["ssim"] = color["ssim"]
+
+        if save_dir:
+            self.save_metrics_csv(
+                metrics_dict, os.path.join(save_dir, "metrics.csv")
+            )
+        return metrics_dict
+
+    @staticmethod
+    def save_metrics_csv(metrics_dict: Dict[str, dict], path: str):
+        """metrics.csv parity (reference: training/trainer.py:888-905)."""
+        import csv
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        sensors = list(metrics_dict.keys())
+        cols = [
+            k for k in (metrics_dict[sensors[0]].keys() if sensors else [])
+            if not k.startswith("nn_dists")
+        ]
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([""] + cols)
+            for s in sensors:
+                w.writerow(
+                    [s] + [metrics_dict[s].get(c, "") for c in cols]
+                )
