@@ -1,0 +1,227 @@
+"""Optimization-layer tests: PSO convergence on synthetic objectives,
+crash/resume state fidelity (the reference's key test,
+test_scripts/optimization/test_particle_swarm_optimization.py), hparam-space
+mapping, and config patching."""
+
+import numpy as np
+import pytest
+
+from virus_nerf_tpu.configs.config import Config
+from virus_nerf_tpu.optimization import (
+    HParamSpace,
+    ParticleSwarmOptimization,
+    PSOWrapper,
+    SyntheticMetric,
+    apply_hparams,
+    run_optimization,
+    score_from_metrics,
+)
+
+LIMS = {
+    "training": {"uss_loss_w": [0.1, 400.0], "tof_loss_w": [0.1, 400.0]},
+    "occ_grid": {"update_interval": [2.0, 32.0]},
+}
+
+
+class TestHParamSpace:
+    def test_round_trip(self):
+        space = HParamSpace(LIMS)
+        assert space.num_dimensions == 3
+        pos = np.array([0.25, 0.5, 1.0])
+        nd = space.to_name_dict(pos)
+        assert np.isclose(nd["update_interval"], 32.0)
+        back = space.from_name_dict(nd)
+        np.testing.assert_allclose(back, pos, atol=1e-12)
+
+    def test_group_dict(self):
+        space = HParamSpace(LIMS)
+        gd = space.to_group_dict(np.array([0.0, 1.0, 0.5]))
+        assert set(gd) == {"training", "occ_grid"}
+        assert np.isclose(gd["training"]["uss_loss_w"], 0.1)
+        assert np.isclose(gd["training"]["tof_loss_w"], 400.0)
+
+    def test_duplicate_param_rejected(self):
+        with pytest.raises(ValueError):
+            HParamSpace({"a": {"x": [0, 1]}, "b": {"x": [0, 1]}})
+
+
+class TestPSOCore:
+    def test_converges_on_gauss(self, tmp_path):
+        rng = np.random.default_rng(3)
+        M = 4
+        lims = np.tile([[0.0, 1.0]], (M, 1))
+        metric = SyntheticMetric("gauss", lims, rng, str(tmp_path))
+        pso = ParticleSwarmOptimization(M, rng=np.random.default_rng(7))
+        for _ in range(300):
+            x = pso.ask()
+            pso.tell(float(metric.gauss(x)))
+        best_pos, best_score = pso.best
+        assert best_score < 0.5
+        assert np.linalg.norm(best_pos - metric.centre) < 0.45
+
+    def test_positions_stay_in_box(self):
+        pso = ParticleSwarmOptimization(3, rng=np.random.default_rng(0))
+        for _ in range(100):
+            x = pso.ask()
+            assert np.all(x >= 0) and np.all(x <= 1)
+            pso.tell(float(np.sum(x)))
+
+    def test_exploit_averages_noisy_scores(self):
+        # force exploitation: prob_explore = 0 after the first evaluation
+        pso = ParticleSwarmOptimization(
+            2,
+            params={"num_particles": 1, "prob_explore": 0.0},
+            rng=np.random.default_rng(0),
+        )
+        x = pso.ask()
+        assert pso.state.exploring  # best_count == 0 -> must explore
+        pso.tell(0.4)
+        assert pso.state.best_count[0] == 1
+        x = pso.ask()
+        assert not pso.state.exploring
+        pso.tell(0.6)
+        # running average: (1*0.4 + 0.6) / 2
+        assert np.isclose(pso.state.best_score[0], 0.5)
+        assert pso.state.best_count[0] == 2
+
+    def test_batch_mode(self, tmp_path):
+        rng = np.random.default_rng(3)
+        M = 3
+        lims = np.tile([[0.0, 1.0]], (M, 1))
+        metric = SyntheticMetric("gauss", lims, rng, str(tmp_path))
+        pso = ParticleSwarmOptimization(M, rng=np.random.default_rng(11))
+        for _ in range(60):
+            X = pso.ask_all()  # (N, M)
+            pso.tell_all(metric.gauss(X))
+        assert pso.best[1] < 0.5
+
+
+class TestCrashResume:
+    def test_state_survives_restart(self, tmp_path):
+        """Kill the wrapper mid-swarm; a new wrapper must continue from the
+        identical state (the property watch_optimization.py relied on)."""
+        save = str(tmp_path / "pso")
+        rng1 = np.random.default_rng(5)
+        w1 = PSOWrapper(LIMS, save, T=1000, termination_by_time=False, rng=rng1)
+        scores = [0.9, 0.7, 0.8, 0.6, 0.5, 0.4, 0.65]
+        for s in scores:  # 7 evals = mid-swarm crash point
+            w1.get_next_hparams()
+            w1.update(s)
+        st1 = w1.pso.state
+
+        # "relaunch": a fresh wrapper on the same directory
+        w2 = PSOWrapper(
+            LIMS, save, T=1000, termination_by_time=False,
+            rng=np.random.default_rng(5),
+        )
+        st2 = w2.pso.state
+        np.testing.assert_allclose(st1.pos, st2.pos)
+        np.testing.assert_allclose(st1.vel, st2.vel)
+        np.testing.assert_allclose(st1.best_pos, st2.best_pos)
+        np.testing.assert_allclose(st1.best_score, st2.best_score)
+        assert st1.n == st2.n and st1.t == st2.t
+
+        # continued trajectory is deterministic: compare against an
+        # uninterrupted run with the same rng seed
+        w_ref = PSOWrapper(
+            LIMS, str(tmp_path / "ref"), T=1000, termination_by_time=False,
+            rng=np.random.default_rng(5),
+        )
+        for s in scores:
+            w_ref.get_next_hparams()
+            w_ref.update(s)
+        h_resumed = w2.get_next_hparams()
+        h_ref = w_ref.get_next_hparams()
+        for k in h_ref:
+            assert np.isclose(h_resumed[k], h_ref[k]), k
+
+    def test_param_mismatch_detected(self, tmp_path):
+        save = str(tmp_path / "pso")
+        PSOWrapper(LIMS, save, T=10, termination_by_time=False)
+        with pytest.raises(ValueError, match="mismatch"):
+            PSOWrapper(
+                LIMS, save, T=10, termination_by_time=False,
+                pso_params={"num_particles": 7},
+            )
+
+    def test_metric_params_persist(self, tmp_path):
+        lims = np.tile([[0.0, 1.0]], (3, 1))
+        m1 = SyntheticMetric(
+            "cos", lims, np.random.default_rng(1), str(tmp_path)
+        )
+        m2 = SyntheticMetric(
+            "cos", lims, np.random.default_rng(999), str(tmp_path)
+        )
+        np.testing.assert_allclose(m1.centre, m2.centre)
+        x = np.array([0.3, 0.5, 0.7])
+        assert np.isclose(m1(x), m2(x))
+
+
+class TestApplyHparams:
+    def test_patching_rules(self):
+        cfg = Config()
+        gd = {
+            "training": {
+                "pixs_valid_uss": 0.8,
+                "pixs_valid_tof": 0.6,
+                "uss_loss_w": 123.0,
+            },
+            "occ_grid": {"update_interval": 7.6, "std_every_m": 0.2},
+            "ToF": {"tof_pix_size": 15.4},
+        }
+        out = apply_hparams(cfg, gd)
+        pixs = out.training.sampling_strategy["pixs"]
+        # sum 1.4 -> renormalized to sum 1 (reference rounds to 2 decimals)
+        assert np.isclose(pixs["valid_uss"] + pixs["valid_tof"], 1.0, atol=1e-2)
+        assert np.isclose(pixs["valid_uss"] / pixs["valid_tof"], 0.8 / 0.6)
+        assert out.training.uss_loss_w == 123.0
+        assert out.occ_grid.update_interval == 8  # rounded int
+        assert out.occ_grid.std_every_m == 0.2
+        assert out.tof.tof_pix_size == 15
+        # base config untouched
+        assert cfg.occ_grid.update_interval != 8 or cfg.tof.tof_pix_size == 1
+
+    def test_score_extraction(self):
+        assert score_from_metrics(
+            {"NeRF": {"nn_mean": {"zone3": 0.25}}}
+        ) == 0.25
+        assert score_from_metrics({}) == float("inf")
+        assert score_from_metrics(
+            {"NeRF": {"nn_mean": {"zone3": float("nan")}}}
+        ) == float("inf")
+
+
+class TestRunOptimization:
+    def test_end_to_end_synthetic(self, tmp_path):
+        """Full runner loop against the synthetic objective standing in for
+        train+evaluate (reference: run_optimization.py:66-139)."""
+        space = HParamSpace(LIMS)
+        unit_lims = np.tile([[0.0, 1.0]], (space.num_dimensions, 1))
+        metric = SyntheticMetric(
+            "gauss", unit_lims, np.random.default_rng(2), str(tmp_path)
+        )
+
+        def train_and_eval(cfg, it):
+            pos = space.from_name_dict(
+                {
+                    "uss_loss_w": cfg.training.uss_loss_w,
+                    "tof_loss_w": cfg.training.tof_loss_w,
+                    "update_interval": cfg.occ_grid.update_interval,
+                }
+            )
+            return {
+                "NeRF": {"nn_mean": {"zone3": float(metric.gauss(pos))}}
+            }
+
+        pso = run_optimization(
+            Config(), LIMS, str(tmp_path / "pso"), train_and_eval,
+            T=60, termination_by_time=False, max_iters=60,
+            rng=np.random.default_rng(4),
+        )
+        assert pso.pso.state.t == 60
+        assert pso.best_score < 0.9
+        # history recorded one line per evaluation (+ header)
+        hist = (tmp_path / "pso" / "pso_history.csv").read_text().splitlines()
+        assert len(hist) == 61
+        # rounding of update_interval cannot push score extraction off target
+        assert np.isfinite(pso.best_score)

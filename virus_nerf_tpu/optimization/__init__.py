@@ -1,0 +1,20 @@
+"""Hyper-parameter optimization: PSO over whole training runs.
+
+Counterpart of the reference optimization/ package
+(reference: optimization/particle_swarm_optimization.py,
+particle_swarm_optimization_wrapper.py, metric.py, run_optimization.py).
+"""
+
+from virus_nerf_tpu.optimization.metric import SyntheticMetric  # noqa: F401
+from virus_nerf_tpu.optimization.pso import (  # noqa: F401
+    DEFAULT_PSO_PARAMS,
+    HParamSpace,
+    ParticleSwarmOptimization,
+    PSOState,
+    PSOWrapper,
+)
+from virus_nerf_tpu.optimization.runner import (  # noqa: F401
+    apply_hparams,
+    run_optimization,
+    score_from_metrics,
+)
