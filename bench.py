@@ -7,6 +7,12 @@ model — /root/reference/args/ethz_usstof_not_optimized_gpu.json), whose
 (BASELINE.md).  Grid updates are included in the timing — this is the real
 train-loop throughput, not a kernel microbenchmark.
 
+The loop is scan-fused: CHUNK train steps (with their grid updates folded
+in as lax.cond) execute as ONE device program per dispatch, so host/tunnel
+round-trip latency is amortized out.  Timing forces a scalar fetch per
+chunk — on remote backends `block_until_ready` may not actually block, but
+a host transfer of the result does.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -15,11 +21,12 @@ from __future__ import annotations
 import json
 import time
 
-import jax
 import jax.numpy as jnp
 
 # implied reference throughput: 500 steps x 4096 rays / 45 s (BASELINE.md)
 BASELINE_RAYS_PER_SEC = 500 * 4096 / 45.0
+
+CHUNK = 100  # train steps fused into one dispatch
 
 
 def main():
@@ -36,6 +43,9 @@ def main():
     cfg.training.batch_size = 4096
     cfg.training.max_samples_per_ray = 128
     cfg.training.march_candidates = 1024
+    # compaction: model runs on <=32 samples/ray on average (the converged
+    # occupancy grid leaves most of the 128-sample layout empty)
+    cfg.training.sample_budget = 4096 * 32
     cfg.training.sampling_strategy = {
         "imgs": "all",
         "pixs": {"valid_uss": 0.4, "valid_tof": 0.4},
@@ -48,29 +58,24 @@ def main():
     trainer = Trainer(cfg, dataset, scene=scene)
     state = trainer.init_state()
 
-    train_step = trainer._get("train_step", trainer._make_train_step)
-    occ_update = trainer._get("occ_update", trainer._make_occ_update)
+    train_chunk = trainer._make_train_chunk(CHUNK)
     t0 = jnp.float32(0.0)
 
-    # warmup: compile + let the occupancy grid reach steady-state sparsity
-    warmup_steps = 120
-    for step in range(warmup_steps):
-        if step % cfg.occ_grid.update_interval == 0:
-            state = occ_update(state, dataset, t0)
-        state, metrics = train_step(state, dataset, t0)
-    jax.block_until_ready(state.params)
+    # warmup: compile + reach steady-state grid sparsity (1 chunk = 100 steps)
+    state, metrics = train_chunk(state, dataset, t0)
+    float(metrics["loss"][-1])  # force completion
 
-    # timed run, grid updates included
-    n_steps = 200
+    # timed run: 2 chunks = 200 steps, grid updates included
+    n_chunks = 2
     tic = time.perf_counter()
-    for step in range(n_steps):
-        if step % cfg.occ_grid.update_interval == 0:
-            state = occ_update(state, dataset, t0)
-        state, metrics = train_step(state, dataset, t0)
-    jax.block_until_ready(state.params)
+    for _ in range(n_chunks):
+        state, metrics = train_chunk(state, dataset, t0)
+    loss = float(metrics["loss"][-1])  # forces the whole chain
     toc = time.perf_counter()
 
+    n_steps = n_chunks * CHUNK
     rays_per_sec = n_steps * cfg.training.batch_size / (toc - tic)
+    assert loss == loss, "non-finite loss"
     print(
         json.dumps(
             {

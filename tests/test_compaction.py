@@ -1,0 +1,79 @@
+"""Sample-compaction equivalence: with a budget covering all valid samples,
+the compacted render must equal the dense render exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from virus_nerf_tpu.models import NGPModel, render_rays
+
+
+def _setup():
+    model = NGPModel(
+        scale=0.5, levels=4, log2_T=13, max_res=64, grid_size=32
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    # half-occupied grid so rays have ragged sample counts
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(rng.random((1, 32**3)) < 0.3)
+    n = 64
+    th = np.linspace(0, 2 * np.pi, n)
+    rays_o = jnp.zeros((n, 3), jnp.float32)
+    rays_d = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), 0.1 * np.sin(3 * th)], 1),
+        jnp.float32,
+    )
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+    return model, params, occ, rays_o, rays_d
+
+
+def test_budget_covers_all_matches_dense():
+    model, params, occ, rays_o, rays_d = _setup()
+    key = jax.random.PRNGKey(1)
+    kwargs = dict(
+        exp_step_factor=0.0, max_samples=32, n_candidates=256, jitter=False
+    )
+    dense = render_rays(model, params, occ, rays_o, rays_d, key, **kwargs)
+    comp = render_rays(
+        model, params, occ, rays_o, rays_d, key,
+        sample_budget=64 * 32, **kwargs
+    )
+    assert int(comp["overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(comp["rgb"]), np.asarray(dense["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp["depth"]), np.asarray(dense["depth"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp["opacity"]), np.asarray(dense["opacity"]), atol=1e-5
+    )
+
+
+def test_small_budget_overflows_but_finite():
+    model, params, occ, rays_o, rays_d = _setup()
+    key = jax.random.PRNGKey(1)
+    out = render_rays(
+        model, params, occ, rays_o, rays_d, key,
+        exp_step_factor=0.0, max_samples=32, n_candidates=256,
+        jitter=False, sample_budget=64,
+    )
+    assert int(out["overflow"]) > 0
+    assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+def test_gradients_flow_through_compaction():
+    model, params, occ, rays_o, rays_d = _setup()
+    key = jax.random.PRNGKey(1)
+
+    def loss(p):
+        out = render_rays(
+            model, p, occ, rays_o, rays_d, key,
+            exp_step_factor=0.0, max_samples=32, n_candidates=256,
+            jitter=False, sample_budget=64 * 32,
+        )
+        return jnp.mean(out["rgb"] ** 2) + jnp.mean(out["depth"] ** 2)
+
+    g = jax.grad(loss)(params)
+    gt = np.asarray(g.pos_table)
+    assert np.any(gt != 0) and np.all(np.isfinite(gt))

@@ -151,3 +151,30 @@ class TestHashEncoder:
             tm = table.at[i].add(-eps)
             fd = (loss(tp) - loss(tm)) / (2 * eps)
             np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)
+
+
+class TestSegmentRowsSum:
+    def test_sort_path_matches_scatter_path(self, rng):
+        """The TPU sort+cumsum segment reduction must equal the plain
+        scatter-add it replaces."""
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.ops.hash_encoder import _segment_rows_sum
+
+        K, R = 4096, 257
+        rows = jnp.asarray(rng.integers(0, R, K), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(K, 2)).astype(np.float32))
+        a = np.asarray(_segment_rows_sum(vals, rows, R, force_sort=True))
+        b = np.asarray(_segment_rows_sum(vals, rows, R, force_sort=False))
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-4)
+
+    def test_empty_rows_are_zero(self, rng):
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.ops.hash_encoder import _segment_rows_sum
+
+        rows = jnp.asarray([3, 3, 7], jnp.int32)
+        vals = jnp.ones((3, 2), jnp.float32)
+        out = np.asarray(_segment_rows_sum(vals, rows, 10, force_sort=True))
+        assert out[3, 0] == 2.0 and out[7, 0] == 1.0
+        assert np.all(out[[0, 1, 2, 4, 5, 6, 8, 9]] == 0)

@@ -80,6 +80,10 @@ class TrainingConfig:
     max_samples_per_ray: int = 256
     # Candidate lattice length for the occupancy-masked march.
     march_candidates: int = 1024
+    # Global compacted-sample budget per batch (None disables compaction):
+    # the model runs only on this many (valid-first) samples of the
+    # (batch_size, max_samples_per_ray) layout.
+    sample_budget: Optional[int] = None
     distortion_loss_w: float = 0.0
 
 

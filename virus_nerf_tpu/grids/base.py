@@ -21,6 +21,17 @@ import numpy as np
 from virus_nerf_tpu.ops.morton import morton3d, morton3d_invert, packbits, unpackbits
 
 
+def _expand_bits_np(v: np.ndarray) -> np.ndarray:
+    """numpy mirror of ops.morton._expand_bits — pure host math so the
+    permutation tables build eagerly even inside a jit trace."""
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
 @lru_cache(maxsize=8)
 def _morton_of_linear(grid_size: int) -> np.ndarray:
     """morton_code[linear_cell] for all cells, row-major [x, y, z]."""
@@ -28,8 +39,12 @@ def _morton_of_linear(grid_size: int) -> np.ndarray:
     x = idx // (grid_size * grid_size)
     y = (idx // grid_size) % grid_size
     z = idx % grid_size
-    coords = np.stack([x, y, z], axis=-1).astype(np.int32)
-    return np.asarray(morton3d(jnp.asarray(coords)))
+    code = (
+        _expand_bits_np(x)
+        | (_expand_bits_np(y) << np.uint32(1))
+        | (_expand_bits_np(z) << np.uint32(2))
+    )
+    return code.astype(np.int64)
 
 
 @lru_cache(maxsize=8)

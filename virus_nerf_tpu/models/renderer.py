@@ -37,6 +37,7 @@ def render_rays(
     max_samples: int = 256,
     n_candidates: int = 1024,
     jitter: bool = True,
+    sample_budget: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays.
 
@@ -70,8 +71,37 @@ def render_rays(
         n_candidates=n_candidates,
     )
 
-    sigmas, rgbs = model.forward(params, march.xyzs, march.dirs)
-    sigmas = jnp.where(march.valid, sigmas, 0.0)
+    if sample_budget is None:
+        sigmas, rgbs = model.forward(params, march.xyzs, march.dirs)
+        sigmas = jnp.where(march.valid, sigmas, 0.0)
+    else:
+        # Global sample compaction: with the occupancy grid converged most
+        # of the (n_rays, max_samples) layout is empty, so gather the valid
+        # samples (valid-first stable ordering) into a static
+        # ``sample_budget``-sized buffer, run the model only on those, and
+        # scatter sigmas/rgbs back.  Overflowing samples (rare when the
+        # budget covers the typical occupancy; see 'overflow' counter) are
+        # dropped.  TPU analogue of the reference's atomic sample
+        # compaction (modules/ray_march.py:77-82) with static shapes.
+        ns = n_rays * max_samples
+        flat_valid = march.valid.reshape(-1)
+        order = jnp.argsort(~flat_valid, stable=True)
+        sel = order[:sample_budget]
+        sel_valid = flat_valid[sel]
+        pts = march.xyzs.reshape(-1, 3)[sel]
+        drs = march.dirs.reshape(-1, 3)[sel]
+        sig_c, rgb_c = model.forward(params, pts, drs)
+        sig_c = jnp.where(sel_valid, sig_c, 0.0)
+        sigmas = (
+            jnp.zeros((ns,), sig_c.dtype)
+            .at[sel].set(sig_c, unique_indices=True)
+            .reshape(n_rays, max_samples)
+        )
+        rgbs = (
+            jnp.zeros((ns, 3), rgb_c.dtype)
+            .at[sel].set(rgb_c, unique_indices=True)
+            .reshape(n_rays, max_samples, 3)
+        )
 
     comp = composite_rays(
         sigmas, rgbs, march.deltas, march.ts, march.valid, T_threshold
@@ -90,4 +120,10 @@ def render_rays(
         "valid": march.valid,
         "rm_samples": march.total_samples,
         "vr_samples": jnp.sum(comp.vr_samples),
+        # samples beyond the compaction budget (0 when budget disabled)
+        "overflow": (
+            jnp.maximum(jnp.sum(march.valid) - sample_budget, 0)
+            if sample_budget is not None
+            else jnp.int32(0)
+        ),
     }

@@ -125,21 +125,40 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: Optional[int] = None) -> TrainState:
-        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
-        k_model, k_grid, k_state = jax.random.split(key, 3)
-        params = self.model.init(k_model)
-        if self.cfg.model.grid_type == "occ":
-            grid = occ_grid_init(k_grid, self.occ_hp)
-        else:
-            grid = ngp_grid_init(self.model.cascades, self.model.grid_size)
-        opt_state = self.optimizer.init(params)
-        return TrainState(
-            params=params, opt_state=opt_state, grid=grid, key=k_state,
-            step=jnp.int32(0),
+        """Jitted as one function of the seed — eager op-by-op init costs a
+        compile round trip per op on a remote-tunnel TPU backend."""
+        init = self._get("init_state", self._make_init_state)
+        return init(
+            jnp.int32(self.cfg.seed if seed is None else seed)
         )
 
+    def _make_init_state(self):
+        model = self.model
+        optimizer = self.optimizer
+        grid_type = self.cfg.model.grid_type
+        occ_hp = self.occ_hp
+
+        @jax.jit
+        def init(seed) -> TrainState:
+            key = jax.random.PRNGKey(seed)
+            k_model, k_grid, k_state = jax.random.split(key, 3)
+            params = model.init(k_model)
+            if grid_type == "occ":
+                grid = occ_grid_init(k_grid, occ_hp)
+            else:
+                grid = ngp_grid_init(model.cascades, model.grid_size)
+            opt_state = optimizer.init(params)
+            return TrainState(
+                params=params, opt_state=opt_state, grid=grid, key=k_state,
+                step=jnp.int32(0),
+            )
+
+        return init
+
     # ------------------------------------------------------------- train step
-    def _make_train_step(self):
+    def _make_train_body(self):
+        """The unjitted single-step body, shared by the per-step jit, the
+        scan-fused multi-step loop, and the data-parallel shard_map."""
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
@@ -150,9 +169,9 @@ class Trainer:
         esf = cfg.exp_step_factor
         max_samples = cfg.training.max_samples_per_ray
         n_candidates = cfg.training.march_candidates
+        sample_budget = cfg.training.sample_budget
         use_time = cfg.training.real_time_simulation
 
-        @jax.jit
         def train_step(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k_batch, k_render = jax.random.split(state.key, 3)
             batch = sample_batch(
@@ -165,7 +184,7 @@ class Trainer:
                     model, params, state.grid.occ_bool,
                     batch.rays_o, batch.rays_d, k_render,
                     exp_step_factor=esf, max_samples=max_samples,
-                    n_candidates=n_candidates,
+                    n_candidates=n_candidates, sample_budget=sample_budget,
                 )
                 loss, loss_dict = compute_loss(results, batch, weights, sensors)
                 return loss, (loss_dict, results)
@@ -195,8 +214,14 @@ class Trainer:
 
         return train_step
 
+    def _make_train_step(self):
+        return jax.jit(self._make_train_body())
+
     # ------------------------------------------------------------ grid update
     def _make_occ_update(self):
+        return jax.jit(self._make_occ_body())
+
+    def _make_occ_body(self):
         cfg = self.cfg
         model = self.model
         hp = self.occ_hp
@@ -219,7 +244,6 @@ class Trainer:
         else:
             raise ValueError("occupancy grid needs at least one depth sensor")
 
-        @jax.jit
         def occ_update(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k1, k2, k3 = jax.random.split(state.key, 4)
             et = elapse_time if use_time else None
@@ -264,6 +288,40 @@ class Trainer:
 
         return ngp_update
 
+    def _make_train_chunk(self, chunk_steps: int):
+        """Fuse ``chunk_steps`` train steps (with the occupancy-grid update
+        folded in as a ``lax.cond`` on ``step % update_interval``, per the
+        plan in SURVEY.md §7) into ONE jitted dispatch via ``lax.scan``.
+
+        This is the TPU-native shape of the reference's Python train loop
+        (training/trainer.py:95-160): a single device program per chunk
+        instead of per step, which removes all per-step host round trips —
+        decisive on a remote-tunnel backend where every dispatch pays
+        per-buffer HTTP latency.  Only the "occ" grid fits (the NGP grid's
+        warmup changes shapes; it stays on the per-step path).
+        """
+        train_body = self._make_train_body()
+        occ_body = self._make_occ_body()
+        interval = self.grid_update_interval
+
+        @jax.jit
+        def train_chunk(state: TrainState, dataset: DeviceDataset, elapse_time):
+            def body(state, _):
+                state = jax.lax.cond(
+                    state.step % interval == 0,
+                    lambda s: occ_body(s, dataset, elapse_time),
+                    lambda s: s,
+                    state,
+                )
+                return train_body(state, dataset, elapse_time)
+
+            state, metrics = jax.lax.scan(
+                body, state, None, length=chunk_steps
+            )
+            return state, metrics  # metrics stacked over the chunk
+
+        return train_chunk
+
     def _get(self, name, factory):
         if name not in self._compiled:
             self._compiled[name] = factory()
@@ -277,52 +335,82 @@ class Trainer:
         cfg = self.cfg
         if state is None:
             state = self.init_state()
-        train_step = self._get("train_step", self._make_train_step)
 
         self.logger.info("----- START TRAINING -----")
         tic = time.time()
-        step = 0
-        for step in range(cfg.training.max_steps):
-            elapse = jnp.float32(time.time() - tic)
 
-            if step % self.grid_update_interval == 0:
-                if cfg.model.grid_type == "occ":
-                    upd = self._get("occ_update", self._make_occ_update)
-                else:
-                    warmup = step < cfg.ngp_grid.warmup_steps
-                    upd = self._get(
-                        f"ngp_update_{warmup}",
-                        partial(self._make_ngp_update, warmup),
-                    )
-                state = upd(state, self.train_dataset, elapse)
-
-            state, metrics = train_step(state, self.train_dataset, elapse)
-
-            if step % cfg.evaluation.eval_every_n_steps == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                self.logs["time"].append(time.time() - tic)
-                self.logs["step"].append(step)
-                self.logs["loss"].append(m["loss"])
-                self.logs["color_loss"].append(m.get("loss_color", np.nan))
-                self.logs["depth_loss"].append(m.get("loss_depth", np.nan))
-                self.logs["psnr"].append(m["psnr"])
-                self.logs["mnn"].append(np.nan)
-                self.logger.info(
-                    f"step {step:5d} | loss {m['loss']:.4f} | "
-                    f"psnr {m['psnr']:.2f} | rm {int(m['rm_samples'])} | "
-                    f"vr {int(m['vr_samples'])}"
-                )
-
-            if time.time() - tic > cfg.training.max_time:
-                self.logger.info(f"max_time reached at step {step}")
-                break
+        if cfg.model.grid_type == "occ":
+            state, steps_done = self._train_fused(state, tic)
+        else:
+            state, steps_done = self._train_stepwise(state, tic)
 
         jax.block_until_ready(state.params)
         self.logger.info(
             f"----- FINISHED TRAINING ----- {time.time() - tic:.2f}s, "
-            f"iter: {step + 1}"
+            f"iter: {steps_done}"
         )
         return state
+
+    def _train_fused(self, state: TrainState, tic: float):
+        """Scan-fused loop: one device dispatch per
+        ``eval_every_n_steps``-sized chunk (grid updates inside)."""
+        cfg = self.cfg
+        chunk = max(1, min(cfg.evaluation.eval_every_n_steps,
+                           cfg.training.max_steps))
+        train_chunk = self._get(
+            f"train_chunk_{chunk}", partial(self._make_train_chunk, chunk)
+        )
+        step = 0
+        while step < cfg.training.max_steps:
+            elapse = jnp.float32(time.time() - tic)
+            state, metrics = train_chunk(state, self.train_dataset, elapse)
+            # fetch only the last step's scalars (one transfer per chunk)
+            m = {k: float(v[-1]) for k, v in metrics.items()}
+            step += chunk
+            self._log_step(step - 1, m, tic)
+            if time.time() - tic > cfg.training.max_time:
+                self.logger.info(f"max_time reached at step {step}")
+                break
+        return state, step
+
+    def _train_stepwise(self, state: TrainState, tic: float):
+        """Per-step loop for the NGP grid (its warmup pass changes shapes,
+        reference: modules/ngp_grid.py:36-64)."""
+        cfg = self.cfg
+        train_step = self._get("train_step", self._make_train_step)
+        step = 0
+        for step in range(cfg.training.max_steps):
+            elapse = jnp.float32(time.time() - tic)
+            if step % self.grid_update_interval == 0:
+                warmup = step < cfg.ngp_grid.warmup_steps
+                upd = self._get(
+                    f"ngp_update_{warmup}",
+                    partial(self._make_ngp_update, warmup),
+                )
+                state = upd(state, self.train_dataset, elapse)
+            state, metrics = train_step(state, self.train_dataset, elapse)
+            if step % cfg.evaluation.eval_every_n_steps == 0:
+                self._log_step(
+                    step, {k: float(v) for k, v in metrics.items()}, tic
+                )
+            if time.time() - tic > cfg.training.max_time:
+                self.logger.info(f"max_time reached at step {step}")
+                break
+        return state, step + 1
+
+    def _log_step(self, step: int, m: Dict[str, float], tic: float):
+        self.logs["time"].append(time.time() - tic)
+        self.logs["step"].append(step)
+        self.logs["loss"].append(m["loss"])
+        self.logs["color_loss"].append(m.get("loss_color", np.nan))
+        self.logs["depth_loss"].append(m.get("loss_depth", np.nan))
+        self.logs["psnr"].append(m["psnr"])
+        self.logs["mnn"].append(np.nan)
+        self.logger.info(
+            f"step {step:5d} | loss {m['loss']:.4f} | "
+            f"psnr {m['psnr']:.2f} | rm {int(m['rm_samples'])} | "
+            f"vr {int(m['vr_samples'])}"
+        )
 
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, state: TrainState, path: str):
