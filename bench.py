@@ -26,7 +26,7 @@ import jax.numpy as jnp
 # implied reference throughput: 500 steps x 4096 rays / 45 s (BASELINE.md)
 BASELINE_RAYS_PER_SEC = 500 * 4096 / 45.0
 
-CHUNK = 100  # train steps fused into one dispatch
+CHUNK = 50  # train steps fused into one dispatch (long device programs trip the worker watchdog)
 
 
 def main():
@@ -61,12 +61,13 @@ def main():
     train_chunk = trainer._make_train_chunk(CHUNK)
     t0 = jnp.float32(0.0)
 
-    # warmup: compile + reach steady-state grid sparsity (1 chunk = 100 steps)
-    state, metrics = train_chunk(state, dataset, t0)
+    # warmup: compile + reach steady-state grid sparsity (2 chunks = 100 steps)
+    for _ in range(2):
+        state, metrics = train_chunk(state, dataset, t0)
     float(metrics["loss"][-1])  # force completion
 
-    # timed run: 2 chunks = 200 steps, grid updates included
-    n_chunks = 2
+    # timed run: 4 chunks = 200 steps, grid updates included
+    n_chunks = 4
     tic = time.perf_counter()
     for _ in range(n_chunks):
         state, metrics = train_chunk(state, dataset, t0)

@@ -223,11 +223,14 @@ def _segment_rows_sum(vals, rows_local, n_rows: int, force_sort=None):
     starts = jnp.searchsorted(
         sk, jnp.arange(n_rows, dtype=rows_local.dtype), method="sort"
     )
-    ends = jnp.concatenate([starts[1:], jnp.array([K], starts.dtype)])
     outs = []
     for sv in svs:
         cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sv)])
-        outs.append(cs[ends] - cs[starts])
+        cs_starts = cs[starts]
+        # ends[r] == starts[r+1] (and K for the last row), so cs[ends] is
+        # just a shift of cs[starts] — one boundary gather, not two
+        cs_ends = jnp.concatenate([cs_starts[1:], cs[-1:]])
+        outs.append(cs_ends - cs_starts)
     return jnp.stack(outs, axis=1)
 
 
