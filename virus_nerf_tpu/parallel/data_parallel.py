@@ -136,7 +136,7 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, axis: str = "data"):
         }
         new_state = TrainState(
             params=params, opt_state=opt_state, grid=state.grid,
-            key=key, step=state.step + 1,
+            key=key, step=state.step + 1, uss_stats=state.uss_stats,
         )
         return new_state, metrics
 

@@ -27,6 +27,7 @@ import optax
 from virus_nerf_tpu.configs.config import Config
 from virus_nerf_tpu.data.dataset import Batch, DeviceDataset, sample_batch
 from virus_nerf_tpu.data.scene import Scene
+from virus_nerf_tpu.data.uss_stats import uss_stats_init, uss_stats_update
 from virus_nerf_tpu.grids.ngp_grid import NGPGridState, ngp_grid_init, ngp_grid_update
 from virus_nerf_tpu.grids.occupancy_grid import (
     OccGridHParams,
@@ -49,6 +50,9 @@ class TrainState(NamedTuple):
     grid: Any  # OccGridState | NGPGridState
     key: jax.Array
     step: jax.Array  # () int32
+    # running per-image USS minimum-depth tracker, present iff the sampling
+    # strategy uses 'closest' (reference: datasets/sensor_uss.py:113-217)
+    uss_stats: Any = None
 
 
 class Trainer:
@@ -138,6 +142,18 @@ class Trainer:
         grid_type = self.cfg.model.grid_type
         occ_hp = self.occ_hp
 
+        uses_closest = self._uses_closest()
+        n_imgs = self.train_dataset.n_images
+        center_pix = (
+            int(np.asarray(
+                self.train_dataset.uss_mask_idx[
+                    self.train_dataset.uss_mask_idx.shape[0] // 2
+                ]
+            ))
+            if uses_closest
+            else 0
+        )
+
         @jax.jit
         def init(seed) -> TrainState:
             key = jax.random.PRNGKey(seed)
@@ -151,9 +167,20 @@ class Trainer:
             return TrainState(
                 params=params, opt_state=opt_state, grid=grid, key=k_state,
                 step=jnp.int32(0),
+                uss_stats=(
+                    uss_stats_init(n_imgs, center_pix)
+                    if uses_closest
+                    else None
+                ),
             )
 
         return init
+
+    def _uses_closest(self) -> bool:
+        pixs = self.cfg.training.sampling_strategy.get("pixs", "random")
+        if isinstance(pixs, str):
+            return pixs == "closest"
+        return "closest" in pixs
 
     # ------------------------------------------------------------- train step
     def _make_train_body(self):
@@ -172,11 +199,16 @@ class Trainer:
         sample_budget = cfg.training.sample_budget
         use_time = cfg.training.real_time_simulation
 
+        uses_closest = self._uses_closest()
+
         def train_step(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k_batch, k_render = jax.random.split(state.key, 3)
             batch = sample_batch(
                 dataset, k_batch, batch_size, strategy,
                 elapse_time=elapse_time if use_time else None,
+                uss_stats_pix=(
+                    state.uss_stats.min_pix if uses_closest else None
+                ),
             )
 
             def loss_fn(params):
@@ -204,10 +236,21 @@ class Trainer:
                 "rm_samples": results["rm_samples"],
                 "vr_samples": results["vr_samples"],
             }
+            uss_stats = state.uss_stats
+            if uses_closest:
+                uss_mask = (
+                    jnp.zeros((dataset.n_pixels,), bool)
+                    .at[dataset.uss_mask_idx]
+                    .set(True)
+                )
+                uss_stats = uss_stats_update(
+                    uss_stats, batch.img_idxs, batch.pix_idxs,
+                    results["depth"], uss_mask,
+                )
             return (
                 TrainState(
                     params=params, opt_state=opt_state, grid=state.grid,
-                    key=key, step=state.step + 1,
+                    key=key, step=state.step + 1, uss_stats=uss_stats,
                 ),
                 metrics,
             )
