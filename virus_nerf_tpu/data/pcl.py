@@ -61,7 +61,17 @@ def load_pcd(
     path: str, fields: Tuple[str, ...] = ("x", "y", "z")
 ) -> np.ndarray:
     """Load a PCD v0.7 file and return the requested fields as (N, len(fields))
-    float32 (reference: pcl_loader.py:69-86 via pypcd4)."""
+    float32 (reference: pcl_loader.py:69-86 via pypcd4).
+
+    Dispatches to the native C++ parser (native/pcd_io.cpp) when built; this
+    Python implementation is the golden reference and fallback.
+    """
+    if fields == ("x", "y", "z"):
+        from virus_nerf_tpu.utils.native import load_pcd_native
+
+        out = load_pcd_native(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         header: Dict[str, List[str]] = {}
         while True:
