@@ -2,6 +2,8 @@
 closed-form cases, FoV masking, and an end-to-end depth evaluation on the
 synthetic scene where the GT scan compares against itself."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -224,3 +226,84 @@ class TestEvaluatorEndToEnd:
         assert csv_path.exists()
         text = csv_path.read_text()
         assert "NeRF" in text and "nn_mean" in text
+
+
+class TestLidarPacking:
+    def test_pack_lidar_scans(self, rng):
+        from virus_nerf_tpu.evaluation import Evaluator
+
+        # two images; cloud 0 has points in the band, cloud 1 empty
+        cloud0 = np.array(
+            [[1.0, 0.0, 0.0], [0.0, 2.0, 0.02], [5.0, 5.0, 3.0]]
+        )
+        cloud1 = np.zeros((0, 3))
+        poses = np.zeros((2, 3, 4))
+        poses[:, :3, :3] = np.eye(3)
+        heights = np.array([0.0, 0.0])
+        rays_o, rays_d, depths = Evaluator.pack_lidar_scans(
+            [cloud0, cloud1], poses, heights, height_tolerance=0.1
+        )
+        # K = 2 in-band points of cloud0
+        assert depths.shape == (4,)
+        valid = ~np.isnan(depths)
+        assert valid.sum() == 2
+        np.testing.assert_allclose(
+            np.sort(depths[valid]), [1.0, np.sqrt(4.0 + 0.02**2)], rtol=1e-6
+        )
+        # unit directions
+        np.testing.assert_allclose(
+            np.linalg.norm(rays_d[valid], axis=1), 1.0, rtol=1e-6
+        )
+
+
+class TestSyncIdxs:
+    def test_cross_stack_matching(self):
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.data import make_synthetic_dataset
+        from virus_nerf_tpu.data.dataset import get_sync_idxs
+
+        ds, _, _ = make_synthetic_dataset(n_images=6, img_wh=(16, 12))
+        # fake two stacks with interleaved times
+        ds = ds._replace(
+            sensor_ids=jnp.asarray([1, 3, 1, 3, 1, 3]),
+            times=jnp.asarray([0.0, 0.01, 1.0, 1.05, 2.0, 5.0]),
+        )
+        sync = get_sync_idxs(ds, [0, 2, 4])
+        # stack order = sorted unique ids = [1, 3]
+        np.testing.assert_array_equal(sync[0], [0, 1])  # 0.0 ~ 0.01
+        np.testing.assert_array_equal(sync[1], [2, 3])  # 1.0 ~ 1.05
+        np.testing.assert_array_equal(sync[2], [4, 4])  # no partner near 2.0
+
+
+class TestPointcloudExport:
+    def test_export_writes_pcd(self, tmp_path):
+        import jax
+
+        from virus_nerf_tpu.configs.config import Config
+        from virus_nerf_tpu.data import make_synthetic_dataset
+        from virus_nerf_tpu.data.pcl import load_pcd
+        from virus_nerf_tpu.evaluation import Evaluator
+        from virus_nerf_tpu.models import NGPModel
+
+        cfg = Config()
+        cfg.evaluation.res_angular = 16
+        cfg.evaluation.batch_size = 128
+        cfg.evaluation.max_samples_per_ray = 32
+        cfg.training.march_candidates = 256
+        ds, scene, info = make_synthetic_dataset(n_images=4, img_wh=(16, 12))
+        model = NGPModel(
+            scale=0.5, levels=4, log2_T=12, max_res=32, grid_size=16
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        occ = np.ones((1, 16**3), bool)
+        ev = Evaluator(model, cfg, ds, scene)
+        path = str(tmp_path / "cloud.pcd")
+        pts = ev.export_nerf_pointcloud(
+            params, jax.numpy.asarray(occ),
+            rays_o_w=np.zeros((2, 3)), save_path=path,
+            min_opacity=0.0,
+        )
+        assert os.path.exists(path)
+        back = load_pcd(path)
+        assert back.shape == pts.shape

@@ -119,7 +119,11 @@ def _tiny_config(grid_type="occ", **training_overrides):
 
 @pytest.mark.parametrize("grid_type", ["occ", "ngp"])
 def test_train_loop_decreases_loss(grid_type):
-    cfg = _tiny_config(grid_type)
+    # the ngp variant runs the slower per-step path (its warmup pass changes
+    # shapes): fewer steps + a generous wall cap keep it robust on loaded
+    # CPU test machines
+    overrides = {"max_steps": 12, "max_time": 900.0} if grid_type == "ngp" else {}
+    cfg = _tiny_config(grid_type, **overrides)
     dataset, scene, info = make_synthetic_dataset(n_images=8, img_wh=(32, 24))
     trainer = Trainer(cfg, dataset, scene=scene)
     state = trainer.train()

@@ -85,6 +85,10 @@ class TrainingConfig:
     # (batch_size, max_samples_per_ray) layout.
     sample_budget: Optional[int] = None
     distortion_loss_w: float = 0.0
+    # Write a jax.profiler trace of one training chunk to this directory
+    # (None disables) — TPU equivalent of the reference's
+    # CUDA_LAUNCH_BLOCKING debugging hooks (reference: run.py:2).
+    profile_dir: Optional[str] = None
 
 
 @dataclass

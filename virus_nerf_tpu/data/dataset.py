@@ -170,6 +170,35 @@ def gather_batch(dataset: DeviceDataset, img_idxs, pix_idxs) -> Batch:
     )
 
 
+def get_sync_idxs(
+    dataset: DeviceDataset, img_idxs, tolerance: float = 0.1
+) -> np.ndarray:
+    """Time-synchronous sample pairs across sensor stacks
+    (reference: datasets/dataset_base.py:111-136): for each query image,
+    return its index plus the closest-in-time image of every OTHER stack
+    within ``tolerance`` seconds (its own index when none is close enough).
+
+    Host-side (evaluation only).  Returns (N, n_stacks) int indices.
+    """
+    times = np.asarray(dataset.times)
+    sids = np.asarray(dataset.sensor_ids)
+    img_idxs = np.atleast_1d(np.asarray(img_idxs, int))
+    stacks = np.unique(sids)
+    out = np.zeros((img_idxs.shape[0], stacks.shape[0]), int)
+    for i, q in enumerate(img_idxs):
+        for j, s in enumerate(stacks):
+            if sids[q] == s:
+                out[i, j] = q
+                continue
+            cand = np.where(sids == s)[0]
+            if cand.size == 0:
+                out[i, j] = q
+                continue
+            k = cand[np.argmin(np.abs(times[cand] - times[q]))]
+            out[i, j] = k if abs(times[k] - times[q]) < tolerance else q
+    return out
+
+
 def sample_batch(
     dataset: DeviceDataset,
     key,

@@ -400,3 +400,47 @@ def load_ethz_dataset(
         "camera_aov_deg": cam_aov,
     }
     return dataset, scene, info
+
+
+def load_lidar_maps(
+    cfg: Config,
+    img_times: np.ndarray,
+    poses_lidar_c,
+    scene: Scene,
+    time_tolerance: float = 0.05,
+):
+    """Per-image LiDAR point clouds in world coordinates for evaluation
+    (reference: datasets/dataset_ethz.py:134-193).
+
+    Matches each image time to the closest 'lidars/filtered/<time>.pcd'
+    within ``time_tolerance`` seconds and transforms the cloud with the
+    image's (world-coordinate) LiDAR pose.
+
+    Args:
+        img_times: (N,) normalized sample times.
+        poses_lidar_c: (N, 3, 4) LiDAR poses with cube-coordinate positions
+            (the 'poses_lidar' entry of load_ethz_dataset's info dict).
+    Returns:
+        (xyzs, poses_w): list of (M_i, 3) world clouds and (N, 3, 4) poses.
+    """
+    from virus_nerf_tpu.data.pcl import SE3, PCLLoader
+
+    poses_w = np.array(poses_lidar_c, np.float64)
+    poses_w[:, :, 3] = scene.c2w(poses_w[:, :, 3])
+
+    loader = PCLLoader(os.path.join(cfg.ethz.dataset_dir, cfg.ethz.room))
+    lidar_times, lidar_files = loader.get_times("lidars/filtered")
+    order = np.argsort(lidar_times)
+    lidar_times = lidar_times[order] - lidar_times.min()
+    lidar_files = [lidar_files[i] for i in order]
+
+    xyzs = []
+    for i, t in enumerate(np.asarray(img_times, float)):
+        j = int(np.argmin(np.abs(lidar_times - t)))
+        if abs(lidar_times[j] - t) > time_tolerance:
+            xyzs.append(np.zeros((0, 3)))
+            continue
+        xyz = loader.load_pcl(os.path.join("lidars/filtered", lidar_files[j]))
+        trans = SE3(t=poses_w[i, :3, 3], R=poses_w[i, :3, :3])
+        xyzs.append(trans.apply(xyz))
+    return xyzs, poses_w

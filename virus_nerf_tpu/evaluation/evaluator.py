@@ -208,6 +208,51 @@ class Evaluator:
             depths_p.reshape(-1),
         )
 
+    @staticmethod
+    def pack_lidar_scans(
+        xyzs,
+        poses_w: np.ndarray,
+        scan_heights: np.ndarray,
+        height_tolerance: float,
+    ):
+        """Per-image LiDAR clouds -> NaN-packed (rays_o, rays_d, depths)
+        within the scan height band (reference: training/trainer.py:631-679).
+
+        Args:
+            xyzs: list of N (M_i, 3) world clouds (e.g. from
+                ``data.ethz.load_lidar_maps``).
+            poses_w: (N, 3, 4) LiDAR poses in world coordinates.
+            scan_heights: (N,) world z of the camera scan plane.
+        """
+        N = len(xyzs)
+        sliced = []
+        K = 1
+        for i, xyz in enumerate(xyzs):
+            lo = scan_heights[i] - height_tolerance
+            hi = scan_heights[i] + height_tolerance
+            sel = xyz[(xyz[:, 2] >= lo) & (xyz[:, 2] <= hi)]
+            sliced.append(sel)
+            K = max(K, sel.shape[0])
+        rays_o = np.full((N, K, 3), np.nan)
+        rays_d = np.full((N, K, 3), np.nan)
+        depths = np.full((N, K), np.nan)
+        for i, sel in enumerate(sliced):
+            k = sel.shape[0]
+            if k == 0:
+                continue
+            origin = poses_w[i, :3, 3]
+            scan_o = np.array([origin[0], origin[1], scan_heights[i]])
+            diff = sel - origin
+            dist = np.linalg.norm(diff, axis=1)
+            rays_o[i, :k] = scan_o
+            rays_d[i, :k] = diff / dist[:, None]
+            depths[i, :k] = dist
+        return (
+            rays_o.reshape(-1, 3),
+            rays_d.reshape(-1, 3),
+            depths.reshape(-1),
+        )
+
     # ----------------------------------------------------------- depth eval
     def evaluate_depth(
         self,
@@ -217,6 +262,7 @@ class Evaluator:
         sensors: Iterable[str] = ("GT", "NeRF"),
         fov: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
         robot_pos: Optional[Dict[str, np.ndarray]] = None,
+        extra_sensor_data: Optional[Dict[str, tuple]] = None,
     ):
         """Depth evaluation over sensors (reference: training/trainer.py:374-490).
 
@@ -248,6 +294,10 @@ class Evaluator:
                 rays_o, rays_d, depths = self._get_nerf_data(
                     params, occ_bool, img_idxs
                 )
+            elif extra_sensor_data is not None and sensor in extra_sensor_data:
+                # precomputed (rays_o, rays_d, depths) in world coords —
+                # e.g. LiDAR scans packed with pack_lidar_scans
+                rays_o, rays_d, depths = extra_sensor_data[sensor]
             else:
                 rays_o, rays_d, depths = self._get_sensor_data(
                     img_idxs, sensor
@@ -336,6 +386,42 @@ class Evaluator:
                 metrics_dict, os.path.join(save_dir, "metrics.csv")
             )
         return metrics_dict
+
+    def export_nerf_pointcloud(
+        self,
+        params,
+        occ_bool,
+        rays_o_w: np.ndarray,
+        save_path: str,
+        num_heights: int = 2,
+        height_range: float = 0.3,
+        min_opacity: float = 0.5,
+    ) -> np.ndarray:
+        """Render 360-degree scans at multiple heights and export the hit
+        points as a PCD point cloud (reference: training/trainer.py:908-1003).
+
+        Args:
+            rays_o_w: (N, 3) world scan origins; z is replaced by
+                ``num_heights`` values spanning +-height_range.
+        Returns:
+            the (M, 3) world point cloud that was written.
+        """
+        from virus_nerf_tpu.data.pcl import save_pcd
+
+        ev = self.cfg.evaluation
+        o = np.tile(
+            np.asarray(rays_o_w, np.float64)[:, None, :], (1, num_heights, 1)
+        )
+        o[:, :, 2] = np.linspace(-height_range, height_range, num_heights)
+        o = self.scene.w2c(o.reshape(-1, 3))
+        rays_o, rays_d = create_scan_rays(o, ev.res_angular)
+        out = self.render_batched(params, occ_bool, rays_o, rays_d)
+        depths_w = self.scene.c2w(out["depth"], only_scale=True)
+        rays_o_world = self.scene.c2w(rays_o)
+        pts = rays_o_world + rays_d * depths_w[:, None]
+        pts = pts[out["opacity"] > min_opacity]
+        save_pcd(save_path, pts.astype(np.float32))
+        return pts
 
     @staticmethod
     def save_metrics_csv(metrics_dict: Dict[str, dict], path: str):

@@ -404,8 +404,19 @@ class Trainer:
             f"train_chunk_{chunk}", partial(self._make_train_chunk, chunk)
         )
         step = 0
+        profiled = False
         while step < cfg.training.max_steps:
             elapse = jnp.float32(time.time() - tic)
+            if cfg.training.profile_dir and not profiled and step > 0:
+                # profile the second chunk (first is compile + warmup)
+                with jax.profiler.trace(cfg.training.profile_dir):
+                    state, metrics = train_chunk(
+                        state, self.train_dataset, elapse
+                    )
+                    jax.block_until_ready(state.params)
+                profiled = True
+                step += chunk
+                continue
             state, metrics = train_chunk(state, self.train_dataset, elapse)
             # fetch only the last step's scalars (one transfer per chunk)
             m = {k: float(v[-1]) for k, v in metrics.items()}
