@@ -24,9 +24,7 @@ def make_dataset(cfg, split: str = "train", scene=None):
 
         return load_ethz_dataset(cfg, split=split, scene=scene)
     if name == "RH2":
-        raise NotImplementedError(
-            "RH2 needs the external 'robotathome' package/data; use the "
-            "synthetic dataset, which reproduces its USS/ToF-from-RGBD "
-            "simulation path (reference: datasets/dataset_rh.py:450-504)"
-        )
+        from virus_nerf_tpu.data.rh import load_rh_dataset
+
+        return load_rh_dataset(cfg, split=split, scene=scene)
     raise ValueError(f"unknown dataset {name}")
