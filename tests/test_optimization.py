@@ -225,3 +225,37 @@ class TestRunOptimization:
         assert len(hist) == 61
         # rounding of update_interval cannot push score extraction off target
         assert np.isfinite(pso.best_score)
+
+
+class TestPlots:
+    def test_plot_suite_from_history(self, tmp_path):
+        """Run a short PSO on the synthetic objective, then render the full
+        analysis suite from its pso_history.csv (counterpart of the
+        reference's offline plotters, optimization/plotter_ethz.py)."""
+        import os
+
+        from virus_nerf_tpu.optimization import load_history, plot_all
+
+        rng = np.random.default_rng(5)
+        save = str(tmp_path / "pso")
+        w = PSOWrapper(LIMS, save, T=20, termination_by_time=False, rng=rng)
+        metric = SyntheticMetric(
+            "gauss", np.tile([[0.0, 1.0]], (3, 1)),
+            np.random.default_rng(1), str(tmp_path),
+        )
+        for _ in range(20):
+            hp = w.get_next_hparams()
+            x = np.array([hp[k] for k in w.space.order])
+            xn = w.space.normalize(x)
+            w.update(float(metric.gauss(xn)))
+
+        h = load_history(save)
+        assert h["score"].shape == (20,)
+        assert set(np.unique(h["particle"])) <= set(range(5))
+        names = [k for k in h if k not in
+                 ("iteration", "particle", "exploring", "score", "time")]
+        assert len(names) == 3
+
+        paths = plot_all(save, score_min=0.0)
+        for p in paths:
+            assert os.path.exists(p) and os.path.getsize(p) > 0

@@ -13,6 +13,13 @@ from virus_nerf_tpu.optimization.pso import (  # noqa: F401
     PSOState,
     PSOWrapper,
 )
+from virus_nerf_tpu.optimization.plots import (  # noqa: F401
+    load_history,
+    plot_all,
+    plot_convergence,
+    plot_hparam_scores,
+    plot_hparam_trajectories,
+)
 from virus_nerf_tpu.optimization.runner import (  # noqa: F401
     apply_hparams,
     run_optimization,
