@@ -42,7 +42,7 @@ def timed(name, fn, *args):
     jax.block_until_ready(out)
     toc = time.perf_counter()
     ms = (toc - tic) / ITERS * 1e3
-    print(f"{name:<40s} {ms:8.2f} ms/iter")
+    print(f"{name:<40s} {ms:8.2f} ms/iter", flush=True)
     return ms
 
 
@@ -104,7 +104,7 @@ def main():
     # --- stage bodies (carry: float32 scalar mixed into inputs) ----------
     def body_sample(k, c):
         b = sample_batch(dataset, k, B, strategy)
-        return c + jnp.sum(b.rays_o[0]) + jnp.sum(b.rays_d[-1])
+        return c + jnp.sum(b.rays_o) * 1e-9 + jnp.sum(b.rays_d) * 1e-9
 
     batch = jax.jit(
         lambda k: sample_batch(dataset, k, B, strategy)
@@ -122,7 +122,7 @@ def main():
             scale=model.scale, exp_step_factor=esf,
             max_samples=S, n_candidates=K,
         )
-        return c + jnp.sum(m.ts[0]) + m.total_samples.astype(jnp.float32)
+        return c + jnp.sum(m.ts) * 1e-9 + m.total_samples.astype(jnp.float32)
 
     def body_march(k, c):
         return march(k, c)
@@ -145,7 +145,7 @@ def main():
         order = jnp.argsort(~flat_valid, stable=True)
         sel = order[:BUD]
         pts = m0.xyzs.reshape(-1, 3)[sel] + c * 1e-20
-        return c + jnp.sum(pts[0])
+        return c + jnp.sum(pts) * 1e-9
 
     # compacted points for model stages
     flat_valid = m0.valid.reshape(-1)
@@ -157,12 +157,12 @@ def main():
 
     def body_model_fwd(k, c):
         sig, rgb = model.forward(params, pts + c * 1e-20, drs)
-        return c + sig[0] + rgb[0, 0]
+        return c + jnp.sum(sig) * 1e-9 + jnp.sum(rgb) * 1e-9
 
     def body_hash_fwd(k, c):
         x = (pts + c * 1e-20) * 0.5 + 0.5
-        h = hash_encode(params.hash_table, x, model.hash_spec)
-        return c + h[0, 0]
+        h = hash_encode(params.pos_table, x, model.hash_spec)
+        return c + jnp.sum(h) * 1e-9
 
     def body_hash_fwdbwd(k, c):
         x = (pts + c * 1e-20) * 0.5 + 0.5
@@ -170,8 +170,8 @@ def main():
         def f(tbl):
             return jnp.sum(hash_encode(tbl, x, model.hash_spec))
 
-        g = jax.grad(f)(params.hash_table)
-        return c + g[0].astype(jnp.float32)
+        g = jax.grad(f)(params.pos_table)
+        return c + jnp.sum(g).astype(jnp.float32) * 1e-9
 
     def body_model_fwdbwd(k, c):
         def f(p):
@@ -193,7 +193,7 @@ def main():
     def body_occ(k, c):
         st = state._replace(key=k)
         st2 = occ_body(st, dataset, jnp.float32(0.0))
-        return c + st2.grid.prob[0, 0]
+        return c + jnp.sum(st2.grid.prob) * 1e-9
 
     def body_adam(k, c):
         g = jax.tree_util.tree_map(
@@ -201,20 +201,38 @@ def main():
         )
         upd, _ = trainer.optimizer.update(g, state.opt_state)
         p2 = jax.tree_util.tree_map(lambda a, b: a + b, params, upd)
-        return c + p2.hash_table[0].astype(jnp.float32)
+        return c + jnp.sum(p2.pos_table).astype(jnp.float32) * 1e-9
 
-    print(f"backend={jax.default_backend()}  iters={ITERS}")
-    print(f"B={B} S={S} K={K} budget={BUD}")
-    timed("sample_batch", scan_loop(body_sample), key0)
-    timed("aabb+march", scan_loop(body_march), key0)
-    timed("compaction argsort+gather", scan_loop(body_compact), key0)
-    timed("model fwd (hash+mlp+sh)", scan_loop(body_model_fwd), key0)
-    timed("hash_encode fwd", scan_loop(body_hash_fwd), key0)
-    timed("hash_encode fwd+bwd", scan_loop(body_hash_fwdbwd), key0)
-    timed("model fwd+bwd", scan_loop(body_model_fwdbwd), key0)
-    timed("adam update (table+mlps)", scan_loop(body_adam), key0)
-    timed("occ grid update", scan_loop(body_occ), key0)
-    timed("FULL train step", scan_loop(body_full), key0)
+    def body_render_fwd(k, c):
+        res = render_rays(
+            model, params, occ_bool, rays_o + c * 1e-20, rays_d, k,
+            exp_step_factor=esf, max_samples=S, n_candidates=K,
+            sample_budget=BUD,
+        )
+        return (
+            c + jnp.sum(res["rgb"]) * 1e-9 + jnp.sum(res["depth"]) * 1e-9
+            + jnp.sum(res["opacity"]) * 1e-9
+        )
+
+    print(f"backend={jax.default_backend()}  iters={ITERS}", flush=True)
+    print(f"B={B} S={S} K={K} budget={BUD}", flush=True)
+    stages = {
+        "sample_batch": body_sample,
+        "aabb+march": body_march,
+        "compaction argsort+gather": body_compact,
+        "model fwd (hash+mlp+sh)": body_model_fwd,
+        "hash_encode fwd": body_hash_fwd,
+        "hash_encode fwd+bwd": body_hash_fwdbwd,
+        "model fwd+bwd": body_model_fwdbwd,
+        "render fwd (march+model+composite)": body_render_fwd,
+        "adam update (table+mlps)": body_adam,
+        "occ grid update": body_occ,
+        "FULL train step": body_full,
+    }
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for name, body in stages.items():
+        if only is None or any(o in name for o in only):
+            timed(name, scan_loop(body), key0)
 
 
 if __name__ == "__main__":
