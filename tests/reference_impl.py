@@ -78,9 +78,12 @@ def hash_encode_np(table, xyz, spec):
                         local[0] + local[1] * res + local[2] * res * res
                     ) % np.uint64(size)
                 else:
+                    # additive lattice hash (framework deviation from the
+                    # reference's XOR hash — see ops/hash_encoder.py
+                    # docstring); uint32 wrap-around then mod size
                     h = np.uint64(0)
                     for d in range(3):
-                        h ^= (local[d] * primes[d]) & np.uint64(0xFFFFFFFF)
+                        h = (h + local[d] * primes[d]) & np.uint64(0xFFFFFFFF)
                     idx = (h & np.uint64(0xFFFFFFFF)) % np.uint64(size)
                 feat += w * table2[off + int(idx)]
             out[i, level * spec.feat_dim : (level + 1) * spec.feat_dim] = feat

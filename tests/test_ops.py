@@ -154,27 +154,29 @@ class TestHashEncoder:
 
 
 class TestSegmentRowsSum:
-    def test_sort_path_matches_scatter_path(self, rng):
-        """The TPU sort+cumsum segment reduction must equal the plain
-        scatter-add it replaces."""
+    def test_batched_sort_path_matches_scatter(self, rng):
+        """The TPU batched sort+cumsum segment reduction must equal a plain
+        scatter-add."""
         import jax.numpy as jnp
 
-        from virus_nerf_tpu.ops.hash_encoder import _segment_rows_sum
+        from virus_nerf_tpu.ops.hash_encoder import _batched_segment_rows_sum
 
-        K, R = 4096, 257
-        rows = jnp.asarray(rng.integers(0, R, K), jnp.int32)
-        vals = jnp.asarray(rng.normal(size=(K, 2)).astype(np.float32))
-        a = np.asarray(_segment_rows_sum(vals, rows, R, force_sort=True))
-        b = np.asarray(_segment_rows_sum(vals, rows, R, force_sort=False))
-        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-4)
+        G, K, R = 3, 4096, 257
+        rows = jnp.asarray(rng.integers(0, R, (G, K)), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(G, K, 2)).astype(np.float32))
+        got = np.asarray(_batched_segment_rows_sum(vals, rows, R))
+        for g in range(G):
+            want = np.zeros((R, 2), np.float32)
+            np.add.at(want, np.asarray(rows[g]), np.asarray(vals[g]))
+            np.testing.assert_allclose(got[g], want, atol=1e-3, rtol=1e-4)
 
     def test_empty_rows_are_zero(self, rng):
         import jax.numpy as jnp
 
-        from virus_nerf_tpu.ops.hash_encoder import _segment_rows_sum
+        from virus_nerf_tpu.ops.hash_encoder import _batched_segment_rows_sum
 
-        rows = jnp.asarray([3, 3, 7], jnp.int32)
-        vals = jnp.ones((3, 2), jnp.float32)
-        out = np.asarray(_segment_rows_sum(vals, rows, 10, force_sort=True))
+        rows = jnp.asarray([[3, 3, 7]], jnp.int32)
+        vals = jnp.ones((1, 3, 2), jnp.float32)
+        out = np.asarray(_batched_segment_rows_sum(vals, rows, 10))[0]
         assert out[3, 0] == 2.0 and out[7, 0] == 1.0
         assert np.all(out[[0, 1, 2, 4, 5, 6, 8, 9]] == 0)

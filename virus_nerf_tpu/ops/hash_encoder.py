@@ -1,22 +1,35 @@
-"""Multiresolution hash-grid encoder, TPU-native.
+"""Multiresolution hash-grid encoder, TPU-native (fused-corner design).
 
-Replicates the reference's table layout and indexing exactly
-(reference: modules/hash_encoder.py:44-145,183-207; modules/utils.py:19-42):
+Mirrors the reference's table *layout* exactly (per-level scale
+``base_res * exp(level*log_b) - 1``, table size ``min(2^log2_T,
+align8(res^3))`` packed into one flat vector, dense indexing below
+``begin_fast_hash_level``; reference: modules/hash_encoder.py:44-145,183-207,
+modules/utils.py:19-42) but replaces the XOR-prime hash of the fast levels
+with an **additive** hash
 
-- per-level scale ``base_res * exp(level * log_b) - 1`` with
-  ``log_b = ln(max_res/base_res)/(levels-1)``,
-- per-level table size ``min(2^log2_T, align8(res^3))`` packed into one flat
-  parameter vector via cumulative offsets,
-- dense ("under hash") indexing below ``begin_fast_hash_level`` and
-  XOR-prime hashing (primes 1, 2654435761, 805459861) above it,
-- trilinear interpolation over the 8 cell corners.
+    idx = (x + y*P2 + z*P3) mod size        (P2, P3 the reference's primes)
 
-The forward is a batched XLA gather over (N, levels, 8) corner rows; JAX
-autodiff derives the backward as a scatter-add into the table — the exact
-gradient the reference gets from Taichi autodiff
-(modules/hash_encoder.py:264-277).  The table may be bf16 (the TPU-native
-equivalent of the reference's fp16 variant, modules/hash_encoder_half.py);
-interpolation always accumulates in f32.
+so that ALL eight trilinear corners of a sample sit at fixed per-level row
+offsets {0, 1, Cy, Cy+1, Cz, Cz+1, Cy+Cz, Cy+Cz+1} (mod size) from the base
+corner — for dense levels this is bit-exact with the reference's
+``under_hash`` (Cy=res, Cz=res^2 including its boundary wrap-around), for
+hashed levels it is a different but statistically equivalent hash (additive
+lattice hashing; collision structure is a sheared lattice instead of the
+XOR folding — both are translation-structured).
+
+Why: on TPU the encoder's cost is gather-bound, and XLA's gather cost is
+per-ROW, not per-byte (measured ~5-9 ns/row in the scan-fused train step
+regardless of 8-64 B width).  The additive hash lets one row of a derived
+**widened table** ``W[r] = [T[r+o_0], ..., T[r+o_7]]`` (eight rolls of the
+level slab, rebuilt per step for ~1 ms of bandwidth) serve a full trilerp:
+ONE gathered row per (sample, level) instead of eight — an 8x reduction of
+the dominant cost.  The backward sorts 8x fewer keys for the same reason.
+
+Forward is a single batched gather + einsum; backward (`jax.custom_vjp`,
+table-gradient only, like the reference where Taichi autodiff produces only
+table grads, modules/hash_encoder.py:264-277) is a per-level sort-based
+segment reduction into the widened-gradient, folded back onto the base
+table with eight inverse rolls.
 """
 
 from __future__ import annotations
@@ -29,7 +42,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+# the reference's hashing primes (modules/hash_encoder.py:43-51); prime for
+# x is 1, so the additive variant keeps x-stride exactly 1
+_PRIME_Y = 2654435761
+_PRIME_Z = 805459861
 
 
 def _align_to(x: int, y: int) -> int:
@@ -51,6 +67,8 @@ class HashGridSpec:
     resolutions: Tuple[int, ...]
     begin_fast_hash_level: int
     total_rows: int
+    stride_y: Tuple[int, ...]  # per-level row stride of a +1 step in y
+    stride_z: Tuple[int, ...]  # per-level row stride of a +1 step in z
 
     @property
     def out_dim(self) -> int:
@@ -59,6 +77,19 @@ class HashGridSpec:
     @property
     def total_params(self) -> int:
         return self.total_rows * self.feat_dim
+
+    @property
+    def corner_offsets(self) -> np.ndarray:
+        """(L, 8) row offsets of the 8 trilerp corners from the base corner
+        (corner bit d selects the +1 step along dim d)."""
+        out = np.zeros((self.levels, 8), np.int64)
+        for lvl in range(self.levels):
+            s = self.sizes[lvl]
+            cy, cz = self.stride_y[lvl], self.stride_z[lvl]
+            for c in range(8):
+                o = (c & 1) * 1 + ((c >> 1) & 1) * cy + ((c >> 2) & 1) * cz
+                out[lvl, c] = o % s
+        return out
 
     @staticmethod
     def create(
@@ -71,6 +102,7 @@ class HashGridSpec:
         # reference: modules/utils.py:31-39, modules/hash_encoder.py:183-207
         log_b = float(np.log(float(max_res) / float(base_res)) / float(levels - 1))
         offsets, sizes, scales, resolutions = [], [], [], []
+        stride_y, stride_z = [], []
         offset = 0
         begin_fast = levels
         for i in range(levels):
@@ -85,6 +117,9 @@ class HashGridSpec:
             resolutions.append(res)
             if full_size > size_i and begin_fast == levels:
                 begin_fast = i
+            dense = full_size <= size_i
+            stride_y.append(res if dense else _PRIME_Y % size_i)
+            stride_z.append(res * res if dense else _PRIME_Z % size_i)
             offset += size_i
         return HashGridSpec(
             levels=levels,
@@ -97,141 +132,121 @@ class HashGridSpec:
             resolutions=tuple(resolutions),
             begin_fast_hash_level=begin_fast,
             total_rows=offset,
+            stride_y=tuple(stride_y),
+            stride_z=tuple(stride_z),
         )
 
     def init_table(self, key, dtype=jnp.float32):
         """Uniform[0,1) init, matching torch.nn.init.uniform_ defaults
         (reference: modules/hash_encoder.py:220-227)."""
-        import jax
-
         return jax.random.uniform(
             key, (self.total_params,), dtype=jnp.float32
         ).astype(dtype)
 
 
-def hash_corner_indices(spec: HashGridSpec, xyz):
-    """Compute per-level, per-corner flat table row indices and trilerp weights.
+def hash_base_rows(spec: HashGridSpec, xyz):
+    """Base-corner rows and trilinear weights for every (sample, level).
 
-    Layout is batch-minor ``(L, 8, N)``: the batch axis N sits in the
-    TPU lane dimension so every intermediate tiles onto (8, 128) vregs
-    without padding.  The naive ``(N, L, 8)``/``(N, L, 8, F)`` layout puts a
-    tiny axis (8 or feat_dim=2) in the lanes and inflates HBM footprint by
-    up to 64x (observed: 16 GB OOM for a 0.4 GB logical footprint).
+    Layout is batch-minor: the sample axis N sits in the TPU lane dimension
+    so every intermediate tiles onto (8, 128) vregs without padding (a
+    batch-major (N, L, 8) layout puts a tiny axis in the lanes and inflates
+    HBM footprint up to 64x).
 
     Args:
         spec: static layout.
         xyz: (N, 3) positions normalized to [0, 1].
     Returns:
-        rows: (L, 8, N) int32 absolute row indices into the flat table.
-        weights: (L, 8, N) f32 trilinear weights.
+        rows: (L, N) int32 absolute base rows into the flat table.
+        weights: (L, 8, N) f32 trilinear weights (corner bit d = +1 along d).
     """
     scales = jnp.asarray(spec.scales, jnp.float32)[:, None, None]  # (L,1,1)
-    resolutions = jnp.asarray(spec.resolutions, jnp.uint32)[:, None, None]
-    sizes = jnp.asarray(spec.sizes, jnp.uint32)[:, None, None]
-    offsets = jnp.asarray(spec.offsets, jnp.int32)[:, None, None]
+    sizes = jnp.asarray(spec.sizes, jnp.uint32)[:, None]
+    offsets = jnp.asarray(spec.offsets, jnp.int32)[:, None]
+    sy = jnp.asarray(spec.stride_y, jnp.uint32)[:, None]
+    sz = jnp.asarray(spec.stride_z, jnp.uint32)[:, None]
 
     xyzT = xyz.T.astype(jnp.float32)  # (3, N)
     pos = xyzT[None, :, :] * scales + 0.5  # (L, 3, N)
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid  # (L, 3, N)
-    pos_grid = pos_grid.astype(jnp.uint32)
+    pg = pos_grid.astype(jnp.uint32)
 
-    # 8 corners: bit d of corner idx selects low/high along dim d
+    # additive hash of the base (floor) corner; uint32 wrap-around is fine
+    # because the strides are already reduced mod size and sizes are powers
+    # of two for hashed levels / exact for dense levels
+    base = (pg[:, 0] + pg[:, 1] * sy + pg[:, 2] * sz) % sizes  # (L, N)
+    rows = offsets + base.astype(jnp.int32)
+
     corner = jnp.arange(8, dtype=jnp.uint32)
-    corner_offset = jnp.stack(
+    corner_sel = jnp.stack(
         [(corner >> d) & jnp.uint32(1) for d in range(3)], axis=-1
     )  # (8, 3)
-
-    # (L, 8, 3, N) per-corner grid coords and trilerp factors
-    grid_local = pos_grid[:, None, :, :] + corner_offset[None, :, :, None]
-    # trilinear weight: prod over dims of (frac if high else 1-frac)
     w = jnp.where(
-        corner_offset[None, :, :, None] == 1,
-        frac[:, None, :, :],
-        1.0 - frac[:, None, :, :],
-    ).prod(axis=2)  # (L, 8, N)
-
-    # dense indexing (levels below begin_fast_hash_level)
-    under = (
-        grid_local[:, :, 0]
-        + grid_local[:, :, 1] * resolutions
-        + grid_local[:, :, 2] * resolutions * resolutions
-    )
-    # XOR-prime fast hash (reference: modules/hash_encoder.py:43-51)
-    fast = (
-        grid_local[:, :, 0] * jnp.uint32(_PRIMES[0])
-        ^ grid_local[:, :, 1] * jnp.uint32(_PRIMES[1])
-        ^ grid_local[:, :, 2] * jnp.uint32(_PRIMES[2])
-    )
-    level_is_dense = (
-        jnp.arange(spec.levels, dtype=jnp.int32) < spec.begin_fast_hash_level
-    )[:, None, None]
-    idx = jnp.where(level_is_dense, under, fast) % sizes
-    rows = offsets + idx.astype(jnp.int32)
+        corner_sel.T[None, :, :, None] == 1,  # (1, 3, 8, 1)
+        frac[:, :, None, :],  # (L, 3, 1, N)
+        1.0 - frac[:, :, None, :],
+    ).prod(axis=1)  # (L, 8, N)
     return rows, w
 
 
-def _row_gather_encode(table, rows, w, spec: HashGridSpec):
-    """Forward math shared by primal and VJP: per-level row gathers.
+def build_wide_slabs(table, spec: HashGridSpec):
+    """Derive per-level widened slabs W_l (size_l, 8*F): row r holds the
+    features of the 8 corner rows {r + o_k mod size_l}.
 
-    One ``take`` per level over that level's (rows, F) slab: row gathers cost
-    ~6 ns/op on TPU regardless of width (measured), so fetching F features
-    per gather — instead of F scalar gathers — halves the op count, and the
-    16 independent per-level gathers can overlap in the schedule.
+    Eight rolls of each level slab — pure bandwidth (~0.5 GB for the
+    full-size table), rebuilt inside the step whenever the table changed.
+    Kept as a list (not one concatenated array): per-level gathers measure
+    ~7x faster than one global gather of the same rows on TPU.
     """
-    table2d = table.reshape(spec.total_rows, spec.feat_dim)
-    outs = []
-    n = rows.shape[-1]
+    F = spec.feat_dim
+    table2d = table.reshape(spec.total_rows, F)
+    corner_off = spec.corner_offsets  # (L, 8) numpy
+    slabs = []
     for lvl in range(spec.levels):
-        feats = jnp.take(
-            table2d, rows[lvl].reshape(-1), axis=0, mode="clip"
-        )  # (8N, F)
-        feats = feats.reshape(8, n, spec.feat_dim).astype(jnp.float32)
-        outs.append(jnp.einsum("cnf,cn->nf", feats, w[lvl]))  # (N, F)
-    return jnp.concatenate(outs, axis=1)  # (N, L*F)
+        s = spec.sizes[lvl]
+        o = spec.offsets[lvl]
+        slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
+        wide = jnp.concatenate(
+            [
+                jnp.roll(slab, -int(corner_off[lvl, k]), axis=0)
+                for k in range(8)
+            ],
+            axis=1,
+        )  # (s, 8F)
+        slabs.append(wide)
+    return slabs
 
 
-def _segment_rows_sum(vals, rows_local, n_rows: int, force_sort=None):
-    """Dense per-row sums of ``vals`` grouped by ``rows_local`` WITHOUT a
-    scatter: sort by row, cumsum, subtract at segment boundaries.
+def _gather_rows_f32view(slab, rows_local):
+    """Gather rows of a widened slab through an f32 view.
 
-    XLA's scatter-add costs ~42 ns/element on TPU vs ~4 ns/element for a
-    sort (measured 16 ms / 4.2M keys+payload), so this is the fast path for
-    the hash-table gradient.  The boundary positions are found with one
-    ``searchsorted`` over the level-LOCAL row range (n_rows <= 2^19).
-
-    Args:
-        vals: (K, F) f32 values.
-        rows_local: (K,) int32 row ids in [0, n_rows).
-    Returns:
-        (n_rows, F) f32 dense sums.
+    TPU gathers of sub-32-bit dtypes lower poorly (~2-5x slower measured);
+    bf16 slabs are bitcast to half-width f32 rows for the gather and back
+    after.
     """
-    K, F = vals.shape
-    use_sort = (
-        force_sort
-        if force_sort is not None
-        else jax.default_backend() == "tpu"
-    )
-    if not use_sort:
-        # CPU/GPU: the native scatter-add is faster than the sort pipeline
-        return (
-            jnp.zeros((n_rows, F), jnp.float32).at[rows_local].add(vals)
+    if slab.dtype == jnp.bfloat16:
+        s, w = slab.shape
+        view = jax.lax.bitcast_convert_type(
+            slab.reshape(s, w // 2, 2), jnp.float32
+        )  # (s, w//2)
+        g = jnp.take(view, rows_local, axis=0, mode="clip")
+        return jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
+            rows_local.shape[0], w
         )
-    sk, *svs = jax.lax.sort(
-        [rows_local] + [vals[:, f] for f in range(F)], num_keys=1
-    )
-    starts = jnp.searchsorted(
-        sk, jnp.arange(n_rows, dtype=rows_local.dtype), method="sort"
-    )
+    return jnp.take(slab, rows_local, axis=0, mode="clip")
+
+
+def _fused_gather_combine(slabs, rows, w, spec: HashGridSpec):
+    """Per-level gathers of widened rows + trilerp combine."""
+    F = spec.feat_dim
+    n = rows.shape[-1]
     outs = []
-    for sv in svs:
-        cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sv)])
-        cs_starts = cs[starts]
-        # ends[r] == starts[r+1] (and K for the last row), so cs[ends] is
-        # just a shift of cs[starts] — one boundary gather, not two
-        cs_ends = jnp.concatenate([cs_starts[1:], cs[-1:]])
-        outs.append(cs_ends - cs_starts)
-    return jnp.stack(outs, axis=1)
+    for lvl in range(spec.levels):
+        local = rows[lvl] - spec.offsets[lvl]
+        g = _gather_rows_f32view(slabs[lvl], local)  # (N, 8F)
+        g = g.reshape(n, 8, F).astype(jnp.float32)
+        outs.append(jnp.einsum("ncf,cn->nf", g, w[lvl]))
+    return jnp.concatenate(outs, axis=1)  # (N, L*F)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -239,10 +254,8 @@ def hash_encode(table, xyz, spec: HashGridSpec):
     """Encode positions through the multiresolution hash grid.
 
     Custom VJP: the gradient flows only into the table (sample positions
-    come from the non-differentiable ray march, exactly as in the reference
-    where Taichi autodiff only produces table grads,
-    modules/hash_encoder.py:264-277); the backward builds the dense table
-    gradient with the sort+cumsum segment reduction above.
+    come from the non-differentiable ray march, exactly as in the reference,
+    modules/hash_encoder.py:264-277).
 
     Args:
         table: (total_rows * feat_dim,) flat parameter vector (f32 or bf16).
@@ -251,32 +264,96 @@ def hash_encode(table, xyz, spec: HashGridSpec):
     Returns:
         (N, levels * feat_dim) f32 embedding.
     """
-    rows, w = hash_corner_indices(spec, xyz)  # (L, 8, N) each
-    return _row_gather_encode(table, rows, w, spec)
+    rows, w = hash_base_rows(spec, xyz)
+    slabs = build_wide_slabs(table, spec)
+    return _fused_gather_combine(slabs, rows, w, spec)
 
 
 def _hash_encode_fwd(table, xyz, spec: HashGridSpec):
-    rows, w = hash_corner_indices(spec, xyz)
-    out = _row_gather_encode(table, rows, w, spec)
+    rows, w = hash_base_rows(spec, xyz)
+    slabs = build_wide_slabs(table, spec)
+    out = _fused_gather_combine(slabs, rows, w, spec)
     # zero-size carrier for the table dtype (residuals must be arrays)
     return out, (rows, w, jnp.zeros((0,), table.dtype))
 
 
+def _batched_segment_rows_sum(vals, rows_local, n_rows: int):
+    """Segment sums for a GROUP of same-size levels at once.
+
+    Batching the sort / permutation / cumsum / boundary searchsorted over
+    the level group turns 10+ sequential medium ops into one large op each,
+    which the TPU runs at far better utilization (the sequential per-level
+    pipeline measured ~16 ms/level; the batched one amortizes to ~2 ms).
+
+    Args:
+        vals: (G, K, F) f32 per-level gradient rows.
+        rows_local: (G, K) int32 row ids in [0, n_rows).
+    Returns:
+        (G, n_rows, F) f32 dense sums.
+    """
+    G, K, F = vals.shape
+    pi = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (G, K))
+    sk, sp = jax.lax.sort([rows_local, pi], dimension=1, num_keys=1)
+    sv = jnp.take_along_axis(vals, sp[:, :, None], axis=1)  # (G, K, F)
+    cs = jnp.concatenate(
+        [jnp.zeros((G, 1, F), jnp.float32), jnp.cumsum(sv, axis=1)], axis=1
+    )  # (G, K+1, F)
+    queries = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=rows_local.dtype), (G, n_rows)
+    )
+    starts = jax.vmap(
+        lambda k, q: jnp.searchsorted(k, q, method="sort")
+    )(sk, queries)  # (G, n_rows)
+    cs_starts = jnp.take_along_axis(cs, starts[:, :, None], axis=1)
+    # ends[r] == starts[r+1] (and K for the last row): shift, no 2nd gather
+    cs_ends = jnp.concatenate([cs_starts[:, 1:], cs[:, -1:]], axis=1)
+    return cs_ends - cs_starts
+
+
 def _hash_encode_bwd(spec: HashGridSpec, res, g):
-    rows, w, dtype_carrier = res  # rows/w: (L, 8, N)
+    rows, w, dtype_carrier = res  # rows: (L, N); w: (L, 8, N)
     table_dtype = dtype_carrier.dtype
+    F = spec.feat_dim
     n = rows.shape[-1]
-    g = g.reshape(n, spec.levels, spec.feat_dim)  # (N, L, F)
+    g = g.reshape(n, spec.levels, F)  # (N, L, F)
+    corner_off = spec.corner_offsets
+
+    # d out / d W[base, kF+f] = w[k] * g[l, f]  ->  (L, N, 8F) wide grads
+    gv = (
+        w.transpose(0, 2, 1)[:, :, :, None] * g.transpose(1, 0, 2)[:, :, None, :]
+    ).reshape(spec.levels, n, 8 * F)
+    local = rows - jnp.asarray(spec.offsets, jnp.int32)[:, None]  # (L, N)
+
+    # group levels by table size so each group reduces as ONE batched op
+    groups = {}
+    for lvl in range(spec.levels):
+        groups.setdefault(spec.sizes[lvl], []).append(lvl)
+
+    dwide = [None] * spec.levels
+    for size, lvls in groups.items():
+        if len(lvls) == 1:
+            lvl = lvls[0]
+            dw = _batched_segment_rows_sum(
+                gv[lvl][None], local[lvl][None], size
+            )[0]
+            dwide[lvl] = dw
+        else:
+            idx = jnp.asarray(lvls, jnp.int32)
+            dws = _batched_segment_rows_sum(gv[idx], local[idx], size)
+            for j, lvl in enumerate(lvls):
+                dwide[lvl] = dws[j]
+
+    # fold the widened gradient back: dT[r] += dW[(r - o_k) mod s, k]
     slabs = []
     for lvl in range(spec.levels):
-        # d out / d feats[c] = w[c]  ->  corner grad = w (8, N) x g_l (N, F)
-        gv = (
-            w[lvl][:, :, None] * g[:, lvl, :][None, :, :]
-        ).reshape(8 * n, spec.feat_dim)
-        local = rows[lvl].reshape(-1) - spec.offsets[lvl]
-        slabs.append(_segment_rows_sum(gv, local, spec.sizes[lvl]))
-    # level ranges partition [0, total_rows): concatenate the per-level slabs
-    grad_table = jnp.concatenate(slabs, axis=0)
+        dw = dwide[lvl]  # (s, 8F)
+        dt = dw[:, :F]
+        for k in range(1, 8):
+            dt = dt + jnp.roll(
+                dw[:, k * F : (k + 1) * F], int(corner_off[lvl, k]), axis=0
+            )
+        slabs.append(dt)
+    grad_table = jnp.concatenate(slabs, axis=0)  # (total_rows, F)
     return (grad_table.reshape(-1).astype(table_dtype), None)
 
 
