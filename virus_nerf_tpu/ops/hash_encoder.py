@@ -277,13 +277,49 @@ def _hash_encode_fwd(table, xyz, spec: HashGridSpec):
     return out, (rows, w, jnp.zeros((0,), table.dtype))
 
 
+_HIST_LO = 512  # lane-width bucket of the MXU histogram
+
+
+def _mxu_starts(rows_local, n_rows: int):
+    """Exclusive cumulative histogram of row ids via one-hot matmuls.
+
+    ``starts[r] = #{i : rows[i] < r}`` — the segment-start positions in the
+    sorted key order.  A searchsorted over all n_rows queries costs ~10 ms
+    per level on TPU; counting instead with a bucketed one-hot contraction
+    ``hist[hi, lo] = sum_i [rows_i//LO == hi][rows_i%LO == lo]`` runs on the
+    MXU in well under a millisecond (bf16 one-hots, exact f32 accumulation —
+    counts are integers < 2^24), and the exclusive cumsum of the flattened
+    histogram is the starts vector.
+
+    Args:
+        rows_local: (G, K) int32 row ids in [0, n_rows).
+    Returns:
+        (G, n_rows) int32 starts.
+    """
+    G, K = rows_local.shape
+    n_hi = -(-n_rows // _HIST_LO)  # ceil
+    hi = rows_local // _HIST_LO  # (G, K)
+    lo = rows_local % _HIST_LO
+    A = (hi[:, :, None] == jnp.arange(n_hi, dtype=jnp.int32)).astype(
+        jnp.bfloat16
+    )  # (G, K, n_hi)
+    B = (lo[:, :, None] == jnp.arange(_HIST_LO, dtype=jnp.int32)).astype(
+        jnp.bfloat16
+    )  # (G, K, LO)
+    hist = jnp.einsum(
+        "gkh,gkl->ghl", A, B, preferred_element_type=jnp.float32
+    ).reshape(G, n_hi * _HIST_LO)
+    starts = jnp.cumsum(hist, axis=1) - hist  # exclusive
+    return starts[:, :n_rows].astype(jnp.int32)
+
+
 def _batched_segment_rows_sum(vals, rows_local, n_rows: int):
     """Segment sums for a GROUP of same-size levels at once.
 
-    Batching the sort / permutation / cumsum / boundary searchsorted over
-    the level group turns 10+ sequential medium ops into one large op each,
-    which the TPU runs at far better utilization (the sequential per-level
-    pipeline measured ~16 ms/level; the batched one amortizes to ~2 ms).
+    Pipeline: one batched sort of (keys, iota); value permutation and the
+    boundary lookup as per-level ``jnp.take`` calls (the fast gather form on
+    TPU — take_along_axis on the batched layout measures 4-7x slower);
+    segment starts from the MXU histogram above instead of searchsorted.
 
     Args:
         vals: (G, K, F) f32 per-level gradient rows.
@@ -293,18 +329,17 @@ def _batched_segment_rows_sum(vals, rows_local, n_rows: int):
     """
     G, K, F = vals.shape
     pi = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (G, K))
-    sk, sp = jax.lax.sort([rows_local, pi], dimension=1, num_keys=1)
-    sv = jnp.take_along_axis(vals, sp[:, :, None], axis=1)  # (G, K, F)
+    _, sp = jax.lax.sort([rows_local, pi], dimension=1, num_keys=1)
+    sv = jnp.stack(
+        [jnp.take(vals[g], sp[g], axis=0) for g in range(G)]
+    )  # (G, K, F)
     cs = jnp.concatenate(
         [jnp.zeros((G, 1, F), jnp.float32), jnp.cumsum(sv, axis=1)], axis=1
     )  # (G, K+1, F)
-    queries = jnp.broadcast_to(
-        jnp.arange(n_rows, dtype=rows_local.dtype), (G, n_rows)
-    )
-    starts = jax.vmap(
-        lambda k, q: jnp.searchsorted(k, q, method="sort")
-    )(sk, queries)  # (G, n_rows)
-    cs_starts = jnp.take_along_axis(cs, starts[:, :, None], axis=1)
+    starts = _mxu_starts(rows_local, n_rows)  # (G, n_rows)
+    cs_starts = jnp.stack(
+        [jnp.take(cs[g], starts[g], axis=0) for g in range(G)]
+    )  # (G, n_rows, F)
     # ends[r] == starts[r+1] (and K for the last row): shift, no 2nd gather
     cs_ends = jnp.concatenate([cs_starts[:, 1:], cs[:, -1:]], axis=1)
     return cs_ends - cs_starts
