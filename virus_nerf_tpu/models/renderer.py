@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from virus_nerf_tpu.models.ngp import NGPModel, NGPParams
-from virus_nerf_tpu.ops.composite import composite_rays, composite_rays_compact
+from virus_nerf_tpu.ops.composite import composite_rays
 from virus_nerf_tpu.ops.intersection import ray_aabb_intersect
 from virus_nerf_tpu.ops.ray_march import march_rays_train
 
@@ -74,21 +74,16 @@ def render_rays(
     if sample_budget is None:
         sigmas, rgbs = model.forward(params, march.xyzs, march.dirs)
         sigmas = jnp.where(march.valid, sigmas, 0.0)
-        comp = composite_rays(
-            sigmas, rgbs, march.deltas, march.ts, march.valid, T_threshold
-        )
-        ws = comp.ws
     else:
         # Global sample compaction: with the occupancy grid converged most
         # of the (n_rays, max_samples) layout is empty, so gather the valid
-        # samples (valid-first stable ordering, hence ray-major) into a
-        # static ``sample_budget``-sized buffer, run the model only on
-        # those, and composite directly on the compacted stream — the
-        # sigma/rgb never return to the (n_rays, S) layout (two large
-        # scatters saved).  Overflowing samples (rare when the budget
-        # covers the typical occupancy; see 'overflow' counter) are
+        # samples (valid-first stable ordering) into a static
+        # ``sample_budget``-sized buffer, run the model only on those, and
+        # scatter sigmas/rgbs back.  Overflowing samples (rare when the
+        # budget covers the typical occupancy; see 'overflow' counter) are
         # dropped.  TPU analogue of the reference's atomic sample
         # compaction (modules/ray_march.py:77-82) with static shapes.
+        ns = n_rays * max_samples
         flat_valid = march.valid.reshape(-1)
         order = jnp.argsort(~flat_valid, stable=True)
         sel = order[:sample_budget]
@@ -97,33 +92,29 @@ def render_rays(
         drs = march.dirs.reshape(-1, 3)[sel]
         sig_c, rgb_c = model.forward(params, pts, drs)
         sig_c = jnp.where(sel_valid, sig_c, 0.0)
-        # invalid tail entries (stream positions past the valid prefix) get
-        # a sentinel ray id so the stream stays sorted; they carry zero
-        # sigma/weight and land past every real segment
-        ray_id = jnp.where(
-            sel_valid, (sel // max_samples).astype(jnp.int32), n_rays
+        sigmas = (
+            jnp.zeros((ns,), sig_c.dtype)
+            .at[sel].set(sig_c, unique_indices=True)
+            .reshape(n_rays, max_samples)
         )
-        comp = composite_rays_compact(
-            sig_c, rgb_c,
-            march.deltas.reshape(-1)[sel],
-            march.ts.reshape(-1)[sel],
-            sel_valid,
-            ray_id,
-            n_rays,
-            T_threshold,
+        rgbs = (
+            jnp.zeros((ns, 3), rgb_c.dtype)
+            .at[sel].set(rgb_c, unique_indices=True)
+            .reshape(n_rays, max_samples, 3)
         )
-        # per-sample weights exist only in the dense path (used by the
-        # optional distortion regularizer; Trainer enforces budget=None
-        # when that loss is on)
-        ws = None
+
+    comp = composite_rays(
+        sigmas, rgbs, march.deltas, march.ts, march.valid, T_threshold
+    )
 
     rgb_bg = 1.0 if exp_step_factor == 0.0 else 0.0
     rgb = comp.rgb + rgb_bg * (1.0 - comp.opacity)[:, None]
 
-    out = {
+    return {
         "opacity": comp.opacity,
         "depth": comp.depth,
         "rgb": rgb,
+        "ws": comp.ws,
         "deltas": march.deltas,
         "ts": march.ts,
         "valid": march.valid,
@@ -136,6 +127,3 @@ def render_rays(
             else jnp.int32(0)
         ),
     }
-    if ws is not None:
-        out["ws"] = ws
-    return out

@@ -98,12 +98,6 @@ class Trainer:
             uss_depth_tol=float(0.03 * w2c_scale),
             distortion=cfg.training.distortion_loss_w,
         )
-        if cfg.training.distortion_loss_w > 0 and cfg.training.sample_budget:
-            # the compacted-composite path never materializes per-sample
-            # weights; the distortion regularizer needs the dense layout
-            raise ValueError(
-                "distortion_loss_w > 0 requires sample_budget = None"
-            )
         self.occ_hp = OccGridHParams(
             grid_size=cfg.model.grid_size,
             scale=cfg.model.scale,
