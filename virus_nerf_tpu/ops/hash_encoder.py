@@ -200,20 +200,21 @@ def build_wide_slabs(table, spec: HashGridSpec):
     """
     F = spec.feat_dim
     table2d = table.reshape(spec.total_rows, F)
-    corner_off = spec.corner_offsets  # (L, 8) numpy
     slabs = []
     for lvl in range(spec.levels):
         s = spec.sizes[lvl]
         o = spec.offsets[lvl]
         slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
-        wide = jnp.concatenate(
-            [
-                jnp.roll(slab, -int(corner_off[lvl, k]), axis=0)
-                for k in range(8)
-            ],
-            axis=1,
-        )  # (s, 8F)
-        slabs.append(wide)
+        # Doubling tree: corner offset o_c = (c&1)*1 + ((c>>1)&1)*cy +
+        # ((c>>2)&1)*cz, so three widen-by-roll steps produce all eight
+        # corners in corner order (x fastest).  A padded 2-D roll costs one
+        # full-tile pass regardless of logical width, so 3 rolls beat 7.
+        wide = slab
+        for stride in (1, spec.stride_y[lvl], spec.stride_z[lvl]):
+            wide = jnp.concatenate(
+                [wide, jnp.roll(wide, -int(stride % s), axis=0)], axis=1
+            )
+        slabs.append(wide)  # (s, 8F)
     return slabs
 
 
@@ -351,7 +352,6 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     F = spec.feat_dim
     n = rows.shape[-1]
     g = g.reshape(n, spec.levels, F)  # (N, L, F)
-    corner_off = spec.corner_offsets
 
     # d out / d W[base, kF+f] = w[k] * g[l, f]  ->  (L, N, 8F) wide grads
     gv = (
@@ -378,16 +378,19 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
             for j, lvl in enumerate(lvls):
                 dwide[lvl] = dws[j]
 
-    # fold the widened gradient back: dT[r] += dW[(r - o_k) mod s, k]
+    # fold the widened gradient back: dT[r] += dW[(r - o_k) mod s, k],
+    # inverting the build's doubling tree (3 halve-by-roll steps, not 7
+    # individual rolls — each padded 2-D roll costs one full-tile pass)
     slabs = []
     for lvl in range(spec.levels):
-        dw = dwide[lvl]  # (s, 8F)
-        dt = dw[:, :F]
-        for k in range(1, 8):
-            dt = dt + jnp.roll(
-                dw[:, k * F : (k + 1) * F], int(corner_off[lvl, k]), axis=0
+        s = spec.sizes[lvl]
+        dt = dwide[lvl]  # (s, 8F)
+        for stride in (spec.stride_z[lvl], spec.stride_y[lvl], 1):
+            half = dt.shape[1] // 2
+            dt = dt[:, :half] + jnp.roll(
+                dt[:, half:], int(stride % s), axis=0
             )
-        slabs.append(dt)
+        slabs.append(dt)  # (s, F)
     grad_table = jnp.concatenate(slabs, axis=0)  # (total_rows, F)
     return (grad_table.reshape(-1).astype(table_dtype), None)
 
