@@ -76,8 +76,7 @@ class TrainingConfig:
     # Per-ray sample budget of the static-shape ray march (train path).
     # The reference marches up to 1024 samples/ray (modules/rendering.py:8);
     # on TPU the sample chain is a static (n_rays, max_samples_per_ray)
-    # layout; overflowing rays truncate at the budget, exactly like the
-    # reference's N_samples cap (see ops/ray_march.py).
+    # layout; overflowing rays are stride-subsampled (see ops/ray_march.py).
     max_samples_per_ray: int = 256
     # Candidate lattice length for the occupancy-masked march.
     march_candidates: int = 1024

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from virus_nerf_tpu.models.ngp import NGPModel, NGPParams
-from virus_nerf_tpu.ops.composite import composite_rays
+from virus_nerf_tpu.ops.common import SQRT3_2, SQRT3_MAX_SAMPLES
+from virus_nerf_tpu.ops.composite import composite_rays, composite_stream
 from virus_nerf_tpu.ops.intersection import ray_aabb_intersect
 from virus_nerf_tpu.ops.ray_march import march_rays_train
 
@@ -38,13 +39,16 @@ def render_rays(
     n_candidates: int = 1024,
     jitter: bool = True,
     sample_budget: Optional[int] = None,
+    need_ws: bool = False,
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays.
 
     Returns a results dict matching the reference's contract
     (modules/rendering.py:200-228): 'opacity', 'depth', 'rgb', 'ws',
     'deltas', 'ts', 'rays_a' analogue via 'valid', plus sample counters
-    'rm_samples' / 'vr_samples'.
+    'rm_samples' / 'vr_samples'.  With ``sample_budget`` set, the dense
+    per-sample 'ws' is produced only when ``need_ws`` (it costs a scatter
+    back to the (n_rays, max_samples) layout).
 
     Background color: white when exp_step_factor == 0, else black
     (reference: modules/rendering.py:219-226).
@@ -71,59 +75,89 @@ def render_rays(
         n_candidates=n_candidates,
     )
 
+    out: Dict[str, jax.Array] = {
+        "deltas": march.deltas,
+        "ts": march.ts,
+        "valid": march.valid,
+        "rm_samples": march.total_samples,
+    }
     if sample_budget is None:
         sigmas, rgbs = model.forward(params, march.xyzs, march.dirs)
         sigmas = jnp.where(march.valid, sigmas, 0.0)
+        comp = composite_rays(
+            sigmas, rgbs, march.deltas, march.ts, march.valid, T_threshold
+        )
+        opacity, depth, rgb_fg = comp.opacity, comp.depth, comp.rgb
+        out["ws"] = comp.ws
+        out["vr_samples"] = jnp.sum(comp.vr_samples)
+        out["overflow"] = jnp.int32(0)
     else:
         # Global sample compaction: with the occupancy grid converged most
         # of the (n_rays, max_samples) layout is empty, so gather the valid
-        # samples (valid-first stable ordering) into a static
-        # ``sample_budget``-sized buffer, run the model only on those, and
-        # scatter sigmas/rgbs back.  Overflowing samples (rare when the
-        # budget covers the typical occupancy; see 'overflow' counter) are
-        # dropped.  TPU analogue of the reference's atomic sample
-        # compaction (modules/ray_march.py:77-82) with static shapes.
-        ns = n_rays * max_samples
+        # samples (valid-first stable ordering -> ray-major, ascending t)
+        # into a static ``sample_budget``-sized stream, run the model only
+        # on those, and composite DIRECTLY on the stream via segmented
+        # prefix sums — no scatter-back of sigma/rgb (TPU scatter costs
+        # ~49 ns/row, ~5x a gather).  Overflowing samples (see 'overflow'
+        # counter) are dropped.  TPU analogue of the reference's atomic
+        # sample compaction (modules/ray_march.py:77-82), static shapes.
         flat_valid = march.valid.reshape(-1)
         order = jnp.argsort(~flat_valid, stable=True)
         sel = order[:sample_budget]
         sel_valid = flat_valid[sel]
         pts = march.xyzs.reshape(-1, 3)[sel]
-        drs = march.dirs.reshape(-1, 3)[sel]
+        ray_id = (sel // max_samples).astype(jnp.int32)
+        # per-ray tables: gathers over (n_rays, 3) hit few distinct rows
+        # and are far cheaper than re-gathering the flat (n_rays*S, ...)
+        drs = rays_d[ray_id]
         sig_c, rgb_c = model.forward(params, pts, drs)
         sig_c = jnp.where(sel_valid, sig_c, 0.0)
-        sigmas = (
-            jnp.zeros((ns,), sig_c.dtype)
-            .at[sel].set(sig_c, unique_indices=True)
-            .reshape(n_rays, max_samples)
-        )
-        rgbs = (
-            jnp.zeros((ns, 3), rgb_c.dtype)
-            .at[sel].set(rgb_c, unique_indices=True)
-            .reshape(n_rays, max_samples, 3)
-        )
+        # reconstruct t from the gathered position (exact to f32 rounding;
+        # avoids another 4-byte gather over the flat layout)
+        ts_c = jnp.sum((pts - rays_o[ray_id]) * drs, axis=1)
+        if exp_step_factor == 0.0:
+            # constant-dt lattice: no gather needed (matches
+            # ops/ray_march._candidate_lattice) — except while some ray
+            # overflows the per-ray budget, when deltas carry the
+            # subsample represented-count scaling and must be fetched
+            dt0 = min(
+                max(0.0, SQRT3_MAX_SAMPLES),
+                SQRT3_2 * model.scale / model.grid_size,
+            )
+            dt_c = jax.lax.cond(
+                jnp.any(march.n_samples > max_samples),
+                lambda: march.deltas.reshape(-1)[sel],
+                lambda: jnp.where(sel_valid, jnp.float32(dt0), 0.0),
+            )
+        else:
+            dt_c = march.deltas.reshape(-1)[sel]
 
-    comp = composite_rays(
-        sigmas, rgbs, march.deltas, march.ts, march.valid, T_threshold
-    )
+        slots = jnp.minimum(march.n_samples, max_samples)  # valid slots/ray
+        starts = jnp.cumsum(slots) - slots  # (N,)
+        cnt = (
+            jnp.minimum(starts + slots, sample_budget)
+            - jnp.minimum(starts, sample_budget)
+        )
+        starts = jnp.minimum(starts, sample_budget - 1)
+        opacity, depth, rgb_fg, vr_total, w_stream = composite_stream(
+            sig_c, rgb_c, dt_c, ts_c, sel_valid, ray_id, starts, cnt,
+            T_threshold,
+        )
+        out["vr_samples"] = vr_total
+        out["overflow"] = jnp.maximum(
+            jnp.sum(march.valid) - sample_budget, 0
+        )
+        if need_ws:
+            # dense per-sample weights only when a consumer (distortion
+            # regularizer) asks — costs one scatter back to (N, S)
+            out["ws"] = (
+                jnp.zeros((n_rays * max_samples,), w_stream.dtype)
+                .at[sel].set(w_stream, unique_indices=True)
+                .reshape(n_rays, max_samples)
+            )
 
     rgb_bg = 1.0 if exp_step_factor == 0.0 else 0.0
-    rgb = comp.rgb + rgb_bg * (1.0 - comp.opacity)[:, None]
-
-    return {
-        "opacity": comp.opacity,
-        "depth": comp.depth,
-        "rgb": rgb,
-        "ws": comp.ws,
-        "deltas": march.deltas,
-        "ts": march.ts,
-        "valid": march.valid,
-        "rm_samples": march.total_samples,
-        "vr_samples": jnp.sum(comp.vr_samples),
-        # samples beyond the compaction budget (0 when budget disabled)
-        "overflow": (
-            jnp.maximum(jnp.sum(march.valid) - sample_budget, 0)
-            if sample_budget is not None
-            else jnp.int32(0)
-        ),
-    }
+    out["opacity"] = opacity
+    out["depth"] = depth
+    out["rgb"] = rgb_fg + rgb_bg * (1.0 - opacity)[:, None]
+    return out

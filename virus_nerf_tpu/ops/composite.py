@@ -30,6 +30,85 @@ class CompositeResults(NamedTuple):
     vr_samples: jax.Array  # (N,) contributing samples per ray
 
 
+def segmented_cumsum(vals, flags):
+    """Inclusive per-segment cumulative sum along axis 0.
+
+    Flagged prefix sum via ``jax.lax.associative_scan`` with the classic
+    segmented-scan operator ``(va,fa)∘(vb,fb) = (vb + va·(1-fb), fa|fb)``.
+    Unlike the global-cumsum + boundary-difference formulation, accumulation
+    never crosses a segment boundary, so f32 precision is per-ray rather
+    than per-stream (the global form catastrophically cancels once the
+    stream total dwarfs a ray's optical depth — it NaN'd training at
+    converged densities; see repo history around the reverted
+    "composite on the compacted sample stream" commit).
+
+    Args:
+        vals: (B,) or (B, C) values.
+        flags: (B,) bool, True at each segment start.
+    Returns:
+        Array like ``vals``: within-segment inclusive cumsum.
+    """
+    f = jax.lax.stop_gradient(flags).astype(vals.dtype)
+    if vals.ndim == 2:
+        f = f[:, None]
+    f = jnp.broadcast_to(f, vals.shape)
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return vb + va * (1.0 - fb), jnp.maximum(fa, fb)
+
+    out, _ = jax.lax.associative_scan(combine, (vals, f))
+    return out
+
+
+def composite_stream(
+    sigmas, rgbs, deltas, ts, valid, ray_id, starts, counts,
+    T_threshold: float = 1e-4,
+):
+    """Front-to-back compositing on a ray-major compacted sample stream.
+
+    The stream is the valid-first stable compaction of the (n_rays, S)
+    march layout: samples of each ray are contiguous and in ascending-t
+    order.  Per-sample transmittance comes from a segmented prefix sum, so
+    no dense (n_rays, S) sigma/rgb buffers are ever scattered back — the
+    TPU scatter costs ~49 ns/row, ~5x a gather (measured v5e).
+
+    Args:
+        sigmas: (B,) densities on the stream (0 where invalid).
+        rgbs: (B, 3) colors.
+        deltas: (B,) step sizes.
+        ts: (B,) sample distances.
+        valid: (B,) bool stream-slot validity.
+        ray_id: (B,) int32 owning ray per slot (non-decreasing).
+        starts: (N,) int32 stream offset of each ray's first sample
+            (clamped to the stream length).
+        counts: (N,) int32 number of samples each ray has in the stream.
+    Returns:
+        (opacity (N,), depth (N,), rgb (N,3), vr_total ()) — vr_total is
+        the total number of contributing samples ("vr_samples").
+    """
+    flag = jnp.concatenate(
+        [jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]]
+    )
+    sd = jnp.where(valid, sigmas * deltas, 0.0)
+    tau = segmented_cumsum(sd, flag) - sd  # exclusive within segment
+    T = jnp.exp(-tau)
+    alpha = 1.0 - jnp.exp(-sd)
+    live = valid & (T > T_threshold)
+    w = jnp.where(live, alpha * T, 0.0)
+
+    chans = jnp.stack(
+        [w, w * ts, w * rgbs[:, 0], w * rgbs[:, 1], w * rgbs[:, 2]], axis=1
+    )  # (B, 5)
+    acc = segmented_cumsum(chans, flag)
+
+    B = sigmas.shape[0]
+    idx_end = jnp.clip(starts + counts - 1, 0, B - 1)
+    vals = jnp.where(counts[:, None] > 0, acc[idx_end], 0.0)  # (N, 5)
+    return vals[:, 0], vals[:, 1], vals[:, 2:5], jnp.sum(live), w
+
+
 def composite_rays(
     sigmas, rgbs, deltas, ts, valid, T_threshold: float = 1e-4
 ) -> CompositeResults:

@@ -217,6 +217,7 @@ class Trainer:
                     batch.rays_o, batch.rays_d, k_render,
                     exp_step_factor=esf, max_samples=max_samples,
                     n_candidates=n_candidates, sample_budget=sample_budget,
+                    need_ws=weights.distortion > 0.0,
                 )
                 loss, loss_dict = compute_loss(results, batch, weights, sensors)
                 return loss, (loss_dict, results)
