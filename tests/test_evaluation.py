@@ -227,6 +227,19 @@ class TestEvaluatorEndToEnd:
         text = csv_path.read_text()
         assert "NeRF" in text and "nn_mean" in text
 
+    def test_density_slice(self, setup):
+        """Density-slice inference (reference interfereDensityMap parity):
+        right shape, finite, threshold map binary."""
+        cfg, ds, scene, trainer, state, ev = setup
+        dmap, dthr = ev.density_slice(
+            state.params, res_map=16, height_w=0.5,
+            num_avg_heights=3, tolerance_w=0.05, threshold=5.0,
+        )
+        assert dmap.shape == (16, 16) and dthr.shape == (16, 16)
+        assert np.all(np.isfinite(dmap)) and dmap.min() >= 0
+        assert set(np.unique(dthr)).issubset({0.0, 1.0})
+        np.testing.assert_array_equal(dthr, (dmap >= 5.0).astype(np.float32))
+
 
 class TestLidarPacking:
     def test_pack_lidar_scans(self, rng):

@@ -127,6 +127,54 @@ class Evaluator:
             "imgs_gt": gts,
         }
 
+    # --------------------------------------------------------- density slice
+    def density_slice(
+        self,
+        params,
+        res_map: int,
+        height_w: float,
+        num_avg_heights: int = 1,
+        tolerance_w: float = 0.0,
+        threshold: float = 10.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Horizontal density-map slice + its thresholded binarization
+        (reference: training/trainer_base.py:92-140 ``interfereDensityMap``).
+
+        Probes ``model.density`` on an L x L x A cube-coordinate grid around
+        the world height ``height_w`` (+- ``tolerance_w``), max-reduces over
+        the A heights, and thresholds.
+
+        Returns:
+            (density_map (L, L), density_map_thr (L, L)) numpy arrays.
+        """
+        from virus_nerf_tpu.evaluation.geometry import create_scan_pos
+
+        height_c = float(
+            self.scene.w2c(np.array([[0.0, 0.0, height_w]]))[0, 2]
+        )
+        tol_c = float(self.scene.w2c(tolerance_w, only_scale=True))
+        pos = create_scan_pos(
+            res_map=res_map,
+            height_c=height_c,
+            num_avg_heights=num_avg_heights,
+            tolerance_c=tol_c,
+        )  # (L*L*A, 3)
+
+        model = self.model
+        density_fn = jax.jit(lambda p, x: model.density(p, x))
+        B = self.cfg.evaluation.batch_size
+        out = []
+        for i in range(0, pos.shape[0], B):
+            chunk = pos[i : i + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
+            d = np.asarray(density_fn(params, jnp.asarray(chunk)))
+            out.append(d[: d.shape[0] - pad] if pad else d)
+        density = np.concatenate(out).reshape(res_map, res_map, num_avg_heights)
+        density_map = np.nanmax(density, axis=2)
+        return density_map, (density_map >= threshold).astype(np.float32)
+
     # ----------------------------------------------------------- depth data
     def _scan_origins(self, img_idxs: np.ndarray) -> np.ndarray:
         """Per-image scan origin = camera position (cube coords)."""
