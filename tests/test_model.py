@@ -35,6 +35,29 @@ def test_forward_shapes():
     )
 
 
+def test_mixed_precision_mode():
+    """'mixed' = f32 params, bf16 compute (reference fp16-autocast parity,
+    training/trainer.py:104): params/grads stay f32, outputs close to f32
+    mode within bf16 tolerance."""
+    m32 = _small_model(compute_dtype="float32")
+    mmx = _small_model(compute_dtype="mixed")
+    params = m32.init(jax.random.PRNGKey(0))
+    assert params.pos_table.dtype == jnp.float32
+    assert mmx.init(jax.random.PRNGKey(0)).pos_table.dtype == jnp.float32
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.4, maxval=0.4)
+    d = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    s32, c32 = m32.forward(params, x, d)
+    smx, cmx = mmx.forward(params, x, d)
+    assert smx.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(smx), np.asarray(s32), rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(cmx), np.asarray(c32), atol=0.05)
+
+    g = jax.grad(lambda p: jnp.mean(mmx.density(p, x)))(params)
+    assert g.pos_table.dtype == jnp.float32
+    assert float(jnp.sum(jnp.abs(g.pos_table))) > 0
+
+
 def test_density_grad_flows():
     model = _small_model()
     params = model.init(jax.random.PRNGKey(0))

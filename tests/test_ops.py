@@ -180,3 +180,34 @@ class TestSegmentRowsSum:
         out = np.asarray(_batched_segment_rows_sum(vals, rows, 10))[0]
         assert out[3, 0] == 2.0 and out[7, 0] == 1.0
         assert np.all(out[[0, 1, 2, 4, 5, 6, 8, 9]] == 0)
+
+
+class TestFusedAdam:
+    def test_matches_optax_adam(self):
+        """fused_adam (jnp path on CPU) must track optax.adam step for step."""
+        import optax
+        from virus_nerf_tpu.ops.fused_adam import fused_adam
+
+        key = jax.random.PRNGKey(0)
+        params = {
+            "big": jax.random.normal(key, (1000, 16)),
+            "small": jax.random.normal(key, (8, 4)),
+        }
+        lr, eps = 1e-2, 1e-15
+        ref_opt = optax.adam(lr, eps=eps)
+        new_opt = fused_adam(lr, eps=eps)
+        ref_state = ref_opt.init(params)
+        new_state = new_opt.init(params)
+        p_ref = p_new = params
+        for i in range(5):
+            g = jax.tree_util.tree_map(
+                lambda p: jnp.sin(p * (i + 1)), params
+            )
+            ur, ref_state = ref_opt.update(g, ref_state)
+            un, new_state = new_opt.update(g, new_state)
+            p_ref = optax.apply_updates(p_ref, ur)
+            p_new = optax.apply_updates(p_new, un)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(p_new[k]), np.asarray(p_ref[k]), rtol=1e-5, atol=1e-7
+            )

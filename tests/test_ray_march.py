@@ -92,18 +92,54 @@ def test_march_subsampling_covers_range(rng):
         jnp.asarray(noise), cascades=1, grid_size=grid_size, scale=0.5,
         exp_step_factor=0.0, max_samples=S, n_candidates=1024,
     )
-    n_valid = int(res.n_samples[0])
-    assert n_valid > S  # overflow triggered
-    # all S slots valid, deltas sum to the full represented span
+    # budget saturated: all S slots valid (n_samples reports the samples
+    # actually in the layout — capped, like the reference's N_samples)
+    assert int(res.n_samples[0]) == S
     assert bool(np.all(np.asarray(res.valid[0])))
+    # represented-count delta scaling conserves the total marched span
     dt = 1.7320508075688772 / 1024
+    span = float(hits[0, 1] - hits[0, 0])
     np.testing.assert_allclose(
-        float(jnp.sum(res.deltas[0])), n_valid * dt, rtol=1e-5
+        float(jnp.sum(res.deltas[0])), span, atol=2 * dt
     )
     # ts increasing and spanning ~[t1, t2]
     ts = np.asarray(res.ts[0])
     assert np.all(np.diff(ts) > 0)
     assert ts[-1] > 0.9 * hits[0, 1]
+
+
+def test_hierarchical_matches_exact(rng):
+    """The dilated-coarse fast path must reproduce the exact per-candidate
+    march bit-for-bit when no ray overflows (K % stride != 0 disables the
+    hierarchy, giving the exact-path baseline)."""
+    # S == K: even the dilated superset of this (worst-case salt-and-pepper)
+    # random grid cannot overflow the budget, so the fast path must be exact
+    grid_size, n_rays, S = 32, 32, 1024
+    occ = rng.random((1, grid_size**3)) < 0.1
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 0.4
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), 0.5))
+
+    kw = dict(cascades=1, grid_size=grid_size, scale=0.5,
+              exp_step_factor=0.0, max_samples=S)
+    fast = march_rays_train(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(hits), jnp.asarray(occ),
+        jnp.asarray(noise), n_candidates=1024, **kw)
+    # 1023 candidates: hierarchy disabled (K % 4 != 0) -> exact path; the
+    # dropped last candidate is beyond every test ray's exit
+    exact = march_rays_train(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(hits), jnp.asarray(occ),
+        jnp.asarray(noise), n_candidates=1023, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(fast.n_samples), np.asarray(exact.n_samples))
+    np.testing.assert_array_equal(
+        np.asarray(fast.valid), np.asarray(exact.valid))
+    np.testing.assert_allclose(
+        np.asarray(fast.ts), np.asarray(exact.ts), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(fast.deltas), np.asarray(exact.deltas), rtol=1e-6)
 
 
 def test_composite_matches_reference(rng):

@@ -52,8 +52,10 @@ class ModelConfig:
     rgb_net_width: int = 64
     rgb_net_depth: int = 2
     save: bool = True
-    # TPU additions: compute dtype for encoder/MLP matmuls.
-    dtype: str = "float32"  # "float32" | "bfloat16"
+    # TPU additions: compute dtype for encoder/MLP matmuls.  "mixed" keeps
+    # f32 params with bf16 compute — the TPU equivalent of the reference's
+    # fp16-autocast training (training/trainer.py:104).
+    dtype: str = "float32"  # "float32" | "bfloat16" | "mixed"
 
 
 @dataclass

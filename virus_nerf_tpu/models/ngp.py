@@ -61,7 +61,12 @@ class NGPModel:
     rgb_net_width: int = 64
     rgb_net_depth: int = 2
     grid_size: int = 128
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" (table + matmuls)
+    # "float32": everything f32.  "bfloat16": table PARAMS and matmuls bf16
+    # (the reference's half_opt table, modules/hash_encoder_half.py).
+    # "mixed": params stay f32, compute (table gathers + matmuls) casts to
+    # bf16 — the TPU shape of the reference's fp16 autocast training
+    # (training/trainer.py:104); no GradScaler needed, bf16 has f32 range.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" | "mixed"
 
     @property
     def cascades(self) -> int:
@@ -92,15 +97,23 @@ class NGPModel:
 
     @property
     def _dtype(self):
+        if self.compute_dtype in ("bfloat16", "mixed"):
+            return jnp.bfloat16
+        return jnp.float32
+
+    @property
+    def _param_dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> NGPParams:
         k_table, *ks = jax.random.split(key, 7)
         if self.pos_encoder_type == "hash":
-            table = self.hash_spec.init_table(k_table, dtype=self._dtype)
+            table = self.hash_spec.init_table(k_table, dtype=self._param_dtype)
         elif self.pos_encoder_type == "triplane":
-            table = self.triplane_spec.init_planes(k_table, dtype=self._dtype)
+            table = self.triplane_spec.init_planes(
+                k_table, dtype=self._param_dtype
+            )
         else:
             raise ValueError(f"unknown pos_encoder_type {self.pos_encoder_type}")
 
@@ -123,9 +136,14 @@ class NGPModel:
 
     # ----------------------------------------------------------------- apply
     def _encode_pos(self, params: NGPParams, x_unit):
+        # "mixed": f32 params gathered/combined in bf16 — the cast sits
+        # inside the differentiated graph, so table grads come back through
+        # it to f32 (bf16-rounded values, like the reference's fp16
+        # autocast backward)
+        table = params.pos_table.astype(self._dtype)
         if self.pos_encoder_type == "hash":
-            return hash_encode(params.pos_table, x_unit, self.hash_spec)
-        return triplane_encode(params.pos_table, x_unit, self.triplane_spec)
+            return hash_encode(table, x_unit, self.hash_spec)
+        return triplane_encode(table, x_unit, self.triplane_spec)
 
     def _mlp(self, weights, x, final_activation=None):
         dt = self._dtype

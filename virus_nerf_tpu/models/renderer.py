@@ -115,22 +115,10 @@ def render_rays(
         # reconstruct t from the gathered position (exact to f32 rounding;
         # avoids another 4-byte gather over the flat layout)
         ts_c = jnp.sum((pts - rays_o[ray_id]) * drs, axis=1)
-        if exp_step_factor == 0.0:
-            # constant-dt lattice: no gather needed (matches
-            # ops/ray_march._candidate_lattice) — except while some ray
-            # overflows the per-ray budget, when deltas carry the
-            # subsample represented-count scaling and must be fetched
-            dt0 = min(
-                max(0.0, SQRT3_MAX_SAMPLES),
-                SQRT3_2 * model.scale / model.grid_size,
-            )
-            dt_c = jax.lax.cond(
-                jnp.any(march.n_samples > max_samples),
-                lambda: march.deltas.reshape(-1)[sel],
-                lambda: jnp.where(sel_valid, jnp.float32(dt0), 0.0),
-            )
-        else:
-            dt_c = march.deltas.reshape(-1)[sel]
+        # deltas must be fetched, not reconstructed: overflowing rays carry
+        # subsample represented-count scaling even on the constant-dt
+        # lattice (ops/ray_march._select)
+        dt_c = march.deltas.reshape(-1)[sel]
 
         slots = jnp.minimum(march.n_samples, max_samples)  # valid slots/ray
         starts = jnp.cumsum(slots) - slots  # (N,)

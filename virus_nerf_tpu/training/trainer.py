@@ -38,6 +38,7 @@ from virus_nerf_tpu.grids.occupancy_grid import (
 from virus_nerf_tpu.models.ngp import NGPModel
 from virus_nerf_tpu.models.renderer import render_rays
 from virus_nerf_tpu.ops.common import MAX_SAMPLES
+from virus_nerf_tpu.ops.fused_adam import fused_adam
 from virus_nerf_tpu.training.loss import LossWeights, compute_loss
 from virus_nerf_tpu.utils.logging import make_logger
 
@@ -120,7 +121,10 @@ class Trainer:
             else cfg.ngp_grid.update_interval
         )
 
-        self.optimizer = optax.adam(cfg.training.lr, eps=1e-15)
+        # fused_adam == optax.adam(lr, eps) semantics; the big-leaf update
+        # runs as one Pallas pass on TPU (reference uses torch Adam with
+        # eps=1e-15, training/trainer.py:49-57)
+        self.optimizer = fused_adam(cfg.training.lr, eps=1e-15)
         self.logs: Dict[str, list] = {
             "time": [], "step": [], "loss": [], "color_loss": [],
             "depth_loss": [], "psnr": [], "mnn": [],
@@ -236,6 +240,7 @@ class Trainer:
                 ),
                 "rm_samples": results["rm_samples"],
                 "vr_samples": results["vr_samples"],
+                "overflow": results.get("overflow", jnp.int32(0)),
             }
             uss_stats = state.uss_stats
             if uses_closest:
