@@ -33,7 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 # implied reference throughput: 500 steps x 4096 rays / 45 s (BASELINE.md)
 BASELINE_RAYS_PER_SEC = 500 * 4096 / 45.0
 
-CHUNK = 50  # train steps fused into one dispatch (long device programs trip the worker watchdog)
+CHUNK = 25  # train steps fused into one dispatch: long enough to amortize
+# the ~67 ms tunnel dispatch (<1% at 25 x ~130 ms), short enough to keep
+# XLA compile of the fused program in single-digit minutes
 
 
 def main():
@@ -72,12 +74,12 @@ def main():
     # (measured: the VIRUS grid reaches its ~2.5% occupied steady state
     # around step 200-250; timing earlier measures the transient dense
     # phase, not sustained throughput)
-    for _ in range(4):
+    for _ in range(200 // CHUNK):
         state, metrics = train_chunk(state, dataset, t0)
     float(metrics["loss"][-1])  # force completion
 
-    # timed run: 4 chunks = 200 steps, grid updates included
-    n_chunks = 4
+    # timed run: 200 steps, grid updates included
+    n_chunks = 200 // CHUNK
     tic = time.perf_counter()
     for _ in range(n_chunks):
         state, metrics = train_chunk(state, dataset, t0)

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from virus_nerf_tpu.models.ngp import NGPModel, NGPParams
-from virus_nerf_tpu.ops.common import SQRT3_2, SQRT3_MAX_SAMPLES
 from virus_nerf_tpu.ops.composite import composite_rays, composite_stream
 from virus_nerf_tpu.ops.intersection import ray_aabb_intersect
 from virus_nerf_tpu.ops.ray_march import march_rays_train

@@ -125,6 +125,9 @@ class Trainer:
         # runs as one Pallas pass on TPU (reference uses torch Adam with
         # eps=1e-15, training/trainer.py:49-57)
         self.optimizer = fused_adam(cfg.training.lr, eps=1e-15)
+
+        if cfg.training.debug_mode:
+            self._debug_validate_dataset()
         self.logs: Dict[str, list] = {
             "time": [], "step": [], "loss": [], "color_loss": [],
             "depth_loss": [], "psnr": [], "mnn": [],
@@ -428,10 +431,58 @@ class Trainer:
             m = {k: float(v[-1]) for k, v in metrics.items()}
             step += chunk
             self._log_step(step - 1, m, tic)
+            if cfg.training.debug_mode:
+                self._debug_check_state(state, m, step)
             if time.time() - tic > cfg.training.max_time:
                 self.logger.info(f"max_time reached at step {step}")
                 break
         return state, step
+
+    # ------------------------------------------------------------ debug mode
+    def _debug_check_state(self, state: TrainState, m: Dict[str, float],
+                           step: int):
+        """debug_mode invariant net — the TPU shape of the reference's
+        pervasive debug assertions (NaN probability checks,
+        modules/occupancy_grid.py:424-426; bitfield round-trip,
+        training/trainer_plot.py:74-86; ray norms,
+        datasets/dataset_base.py:236-241).  Fetches a handful of scalars
+        per logged chunk; raises on violation."""
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"debug_mode: non-finite loss at {step}")
+        if not bool(jnp.all(jnp.isfinite(state.params.pos_table))):
+            raise FloatingPointError(
+                f"debug_mode: non-finite hash table at {step}"
+            )
+        if hasattr(state.grid, "occ_3d_grid"):
+            g = state.grid.occ_3d_grid
+            lo, hi = float(jnp.min(g)), float(jnp.max(g))
+            if not (0.0 <= lo and hi <= 1.0):
+                raise FloatingPointError(
+                    f"debug_mode: occupancy probs out of [0,1] at {step}: "
+                    f"[{lo}, {hi}]"
+                )
+            # bitfield consistency: occ_bool must be the thresholding of
+            # the probability grid
+            mismatch = int(
+                jnp.sum(state.grid.occ_bool.reshape(-1)
+                        != (g.reshape(-1) > self.occ_hp.threshold))
+            )
+            if mismatch:
+                raise AssertionError(
+                    f"debug_mode: occ_bool/prob mismatch at {step}: "
+                    f"{mismatch} cells"
+                )
+
+    def _debug_validate_dataset(self):
+        """Ray directions rotate to unit world rays (reference ray-norm
+        check, datasets/dataset_base.py:236-241)."""
+        d = np.asarray(self.train_dataset.directions)
+        norms = np.linalg.norm(d, axis=-1)
+        if not np.allclose(norms, 1.0, atol=1e-4):
+            raise AssertionError(
+                "debug_mode: camera direction table not unit-norm "
+                f"(range [{norms.min()}, {norms.max()}])"
+            )
 
     def _train_stepwise(self, state: TrainState, tic: float):
         """Per-step loop for the NGP grid (its warmup pass changes shapes,
