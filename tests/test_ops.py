@@ -211,3 +211,31 @@ class TestFusedAdam:
             np.testing.assert_allclose(
                 np.asarray(p_new[k]), np.asarray(p_ref[k]), rtol=1e-5, atol=1e-7
             )
+
+
+class TestWindowedSegmentSum:
+    def test_matches_naive(self, rng):
+        from virus_nerf_tpu.ops.segment_sum_pallas import windowed_segment_sum
+
+        K, R, F = 3000, 4096, 4
+        sk = np.sort(rng.integers(0, R, K).astype(np.int32))
+        sv = rng.normal(size=(K, F)).astype(np.float32)
+        ref = np.zeros((R, F), np.float64)
+        np.add.at(ref, sk, sv.astype(np.float64))
+        got = np.asarray(
+            windowed_segment_sum(jnp.asarray(sv), jnp.asarray(sk), R)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_empty_and_full_rows(self, rng):
+        from virus_nerf_tpu.ops.segment_sum_pallas import windowed_segment_sum
+
+        # all keys in one row; most rows empty
+        K, R, F = 512, 2048, 2
+        sk = np.full(K, 7, np.int32)
+        sv = rng.normal(size=(K, F)).astype(np.float32)
+        got = np.asarray(
+            windowed_segment_sum(jnp.asarray(sv), jnp.asarray(sk), R)
+        )
+        np.testing.assert_allclose(got[7], sv.sum(0), rtol=1e-4)
+        assert np.all(got[np.arange(R) != 7] == 0)
