@@ -65,7 +65,10 @@ def _wss_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem, sem,
             == local[None, :]
         ).astype(jnp.bfloat16)
         prod = jnp.dot(A, sv_vmem[:], preferred_element_type=jnp.float32)
-        out_ref[:] += prod[:, :F2]
+        # hi + lo halves recombine in-register: the output stays F-wide,
+        # halving its (already lane-padded) HBM traffic
+        F = F2 // 2
+        out_ref[:] += prod[:, :F] + prod[:, F:F2]
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -98,7 +101,7 @@ def _windowed_segment_sum_tpu(sv, sk, n_rows: int):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (_B, 2 * F), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+            (_B, F), lambda b, s: (b, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((_W,), jnp.int32),
@@ -106,12 +109,11 @@ def _windowed_segment_sum_tpu(sv, sk, n_rows: int):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out2 = pl.pallas_call(
+    return pl.pallas_call(
         partial(_wss_kernel, F2=2 * F),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, 2 * F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, F), jnp.float32),
     )(starts, skp, svp)
-    return out2[:, :F] + out2[:, F:]
 
 
 def _windowed_segment_sum_jnp(sv, sk, n_rows: int):
