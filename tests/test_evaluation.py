@@ -211,6 +211,49 @@ class TestEvaluatorEndToEnd:
         # coverage direction exists and is finite
         assert np.isfinite(metrics["ToF"]["nn_mean_inv_360"]["zone3"])
 
+    def test_default_fov_limits_gt(self, setup):
+        """evaluate_depth computes per-image robot FoV from poses by default
+        (reference: training/trainer.py:401-434 + dataset getFieldOfView):
+        the ToF accuracy/coverage directions compare against a GT scan
+        masked to the ~45-degree sensor cone, while _inv_360 keeps all of
+        it — on a 360-degree GT the two references must differ."""
+        cfg, ds, scene, trainer, state, ev = setup
+        idxs = np.array([0, 3])
+
+        fov, robot_pos, orientation = ev.get_field_of_view(idxs)
+        name = next(iter(orientation))
+        half = 0.5 * np.deg2rad(cfg.tof.angle_of_view[0])
+        # ToF range is orientation +- half AoV (up to the [-pi,pi] wrap)
+        lo = fov["ToF"][name][:, 0]
+        w = (fov["ToF"][name][:, 1] - lo) % (2 * np.pi)
+        np.testing.assert_allclose(w, 2 * half, atol=1e-6)
+        assert fov["NeRF"][name][0, 0] == -np.pi
+
+        _, data = ev.evaluate_depth(
+            state.params, state.grid.occ_bool, idxs, sensors=("ToF",),
+        )
+        gt_valid = ~np.isnan(data["GT"]["pos"]).any(axis=1)
+        lim_valid = ~np.isnan(data["ToF"]["pos_gt"]).any(axis=1)
+        # the 45-degree cone keeps roughly 1/8 of the 360-degree scan
+        assert lim_valid.sum() < 0.5 * gt_valid.sum(), (
+            int(lim_valid.sum()), int(gt_valid.sum()),
+        )
+        assert lim_valid.sum() > 0
+        # all surviving GT points lie inside the per-image angular range
+        N, M = idxs.shape[0], data["GT"]["pos"].shape[0] // idxs.shape[0]
+        o = np.repeat(robot_pos[name], M, axis=0)
+        ang = np.arctan2(*(data["GT"]["pos"] - o).T[::-1])
+        rel = (ang - np.repeat(lo, M)) % (2 * np.pi)
+        assert np.all(rel[lim_valid] <= np.repeat(w, M)[lim_valid] + 1e-6)
+
+        # fov={} disables the limiting entirely
+        _, data_off = ev.evaluate_depth(
+            state.params, state.grid.occ_bool, idxs, sensors=("ToF",),
+            fov={},
+        )
+        off_valid = ~np.isnan(data_off["ToF"]["pos_gt"]).any(axis=1)
+        assert off_valid.sum() == gt_valid.sum()
+
     def test_full_evaluate_and_csv(self, setup, tmp_path):
         cfg, ds, scene, trainer, state, ev = setup
         out = ev.evaluate(

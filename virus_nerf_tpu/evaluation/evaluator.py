@@ -175,6 +175,82 @@ class Evaluator:
         density_map = np.nanmax(density, axis=2)
         return density_map, (density_map >= threshold).astype(np.float32)
 
+    # -------------------------------------------------------- robot pose/FoV
+    def get_robot_pose_2d(
+        self, img_idxs: np.ndarray
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+        """Per-camera-stack 2-D robot pose in world coordinates
+        (reference: datasets/dataset_ethz.py:195-259 ``getRobotPose2D``).
+
+        For every query image, the time-synchronous image of each OTHER
+        stack supplies that stack's pose: position is the camera origin,
+        orientation the world XY angle of the central pixel's viewing ray.
+
+        Returns:
+            pos: {camera_name: (N, 2) world XY}, orientation: {name: (N,)}.
+        """
+        from virus_nerf_tpu.data.dataset import get_sync_idxs
+
+        if self.img_wh is None:
+            raise ValueError("get_robot_pose_2d needs img_wh")
+        W, H = self.img_wh
+        center = (H // 2) * W + W // 2  # reference: 0.5*W*(H+1)
+
+        ds = self.dataset
+        img_idxs = np.asarray(img_idxs, int)
+        sync = get_sync_idxs(ds, img_idxs)  # (N, n_stacks)
+        stacks = np.unique(np.asarray(ds.sensor_ids))
+        poses = np.asarray(ds.poses)
+        cam_idx = np.asarray(ds.cam_idx, int)
+        dirs = np.asarray(ds.directions)
+
+        pos: Dict[str, np.ndarray] = {}
+        orientation: Dict[str, np.ndarray] = {}
+        for j, s in enumerate(stacks):
+            ii = sync[:, j]
+            p = poses[ii]  # (N, 3, 4)
+            d_cam = dirs[cam_idx[ii], center]  # (N, 3)
+            d_w = np.einsum("nij,nj->ni", p[:, :3, :3], d_cam)
+            o_w = self.scene.c2w(p[:, :3, 3])
+            name = f"CAM{int(s)}"
+            pos[name] = o_w[:, :2]
+            orientation[name] = np.arctan2(d_w[:, 1], d_w[:, 0])
+        return pos, orientation
+
+    def get_field_of_view(self, img_idxs: np.ndarray):
+        """Per-image angular FoV ranges of every sensor
+        (reference: datasets/dataset_ethz.py:261-307 ``getFieldOfView``):
+        camera orientation ± half the sensor's horizontal angle of view;
+        NeRF scans are full 360°.
+
+        Returns:
+            fov: {sensor: {camera: (N, 2) [min, max] angles}},
+            pos: {camera: (N, 2)}, orientation: {camera: (N,)}.
+        """
+        pos, orientation = self.get_robot_pose_2d(img_idxs)
+        n = np.asarray(img_idxs).shape[0]
+        half = {
+            "USS": 0.5 * np.deg2rad(self.cfg.uss.angle_of_view[0]),
+            "ToF": 0.5 * np.deg2rad(self.cfg.tof.angle_of_view[0]),
+            "RGBD": 0.5 * np.deg2rad(self.cfg.rgbd.angle_of_view[0]),
+        }
+        fov = {
+            sensor: {
+                name: orientation[name][:, None] + np.array([-h, h])
+                for name in orientation
+            }
+            for sensor, h in half.items()
+        }
+        first = next(iter(orientation))
+        fov["NeRF"] = {first: np.tile([-np.pi, np.pi], (n, 1))}
+        # normalize angles to [-pi, pi] (reference quirk: single wrap)
+        for sensor in fov:
+            for cam in fov[sensor]:
+                a = fov[sensor][cam]
+                a[a > np.pi] -= 2 * np.pi
+                a[a < -np.pi] += 2 * np.pi
+        return fov, pos, orientation
+
     # ----------------------------------------------------------- depth data
     def _scan_origins(self, img_idxs: np.ndarray) -> np.ndarray:
         """Per-image scan origin = camera position (cube coords)."""
@@ -318,7 +394,11 @@ class Evaluator:
             img_idxs: (N,) test image indices.
             sensors: subset of {GT, NeRF, USS, ToF, RGBD}; GT is mandatory and
                 evaluated first.
-            fov: sensor -> {camera: (N, 2) angular ranges} or None for 360°.
+            fov: sensor -> {camera: (N, 2) angular ranges}.  By default the
+                per-image robot FoV is computed from the poses
+                (``get_field_of_view``) so the ``nn``/``nn_inv`` directions
+                compare against FoV-limited GT as in the reference
+                (training/trainer.py:401-434); pass ``fov={}`` to disable.
         Returns:
             (metrics_dict, data_dict) keyed by sensor.
         """
@@ -326,6 +406,11 @@ class Evaluator:
         N = img_idxs.shape[0]
         ev = self.cfg.evaluation
         zones = {k: tuple(v) for k, v in ev.zones.items()}
+
+        if fov is None and self.img_wh is not None:
+            fov, fov_robot_pos, _ = self.get_field_of_view(img_idxs)
+            if robot_pos is None:
+                robot_pos = fov_robot_pos
 
         metrics_dict: Dict[str, dict] = {}
         data_dict: Dict[str, dict] = {}

@@ -9,6 +9,8 @@ from virus_nerf_tpu.grids.ngp_grid import NGPGridState, ngp_grid_init, ngp_grid_
 from virus_nerf_tpu.grids.occupancy_grid import (  # noqa: F401
     OccGridHParams,
     OccGridState,
+    occ_grid_apply_delta,
+    occ_grid_delta,
     occ_grid_init,
     occ_grid_update,
 )

@@ -158,12 +158,15 @@ def ray_measurement_probs(meas, dists, hp: OccGridHParams):
     return probs_occ, probs_emp
 
 
-def nerf_density_probs(density, hp: OccGridHParams):
+def nerf_density_probs(density, hp: OccGridHParams, mean_density=None):
     """Convert rendered density to occupancy probability via a log-space
     sigmoid around an adaptive threshold
     (reference: modules/occupancy_grid.py:391-408, including its
-    ``h_thr = -log(threshold)`` convention)."""
-    threshold_nerf = jnp.minimum(hp.nerf_threshold_max, jnp.mean(density))
+    ``h_thr = -log(threshold)`` convention).  ``mean_density`` overrides the
+    batch mean (used for the globally-pmeaned threshold under DP)."""
+    if mean_density is None:
+        mean_density = jnp.mean(density)
+    threshold_nerf = jnp.minimum(hp.nerf_threshold_max, mean_density)
     h_thr = -jnp.log(threshold_nerf)
     h = jnp.log(density)
     probs_occ = jax.nn.sigmoid(hp.nerf_threshold_slope * (h - h_thr))
@@ -174,43 +177,28 @@ def _logit(p):
     return jnp.log(p) - jnp.log1p(-p)
 
 
-def _bayes_scatter(grid, cell_idxs, probs_occ, probs_emp, weight):
-    """Apply the Bayes posterior in log-odds space via deterministic
-    scatter-add (see module docstring).
-
-    Args:
-        grid: (gs, gs, gs) probabilities.
-        cell_idxs: (K, 3) int cell indices.
-        probs_occ / probs_emp: (K,) likelihoods.
-        weight: (K,) 0/1 mask — invalid entries become no-ops.
-    """
-    gs = grid.shape[0]
-    p = jnp.clip(grid, 1e-6, 1.0 - 1e-6)
-    delta = jnp.log(jnp.clip(probs_occ, 1e-30, None)) - jnp.log(
-        jnp.clip(probs_emp, 1e-30, None)
-    )
-    delta = delta * weight
-    lin = (cell_idxs[:, 0] * gs + cell_idxs[:, 1]) * gs + cell_idxs[:, 2]
-    logits = _logit(p).reshape(-1).at[lin].add(delta)
-    return jax.nn.sigmoid(logits).reshape(gs, gs, gs)
-
-
-def occ_grid_update(
-    state: OccGridState,
+def occ_grid_delta(
     hp: OccGridHParams,
     density_fn: Callable,
     key,
     ray_batch: Optional[dict] = None,
     nerf_batch: Optional[dict] = None,
-) -> OccGridState:
-    """One full VIRUS grid update (reference: modules/occupancy_grid.py:64-106).
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Log-odds evidence of one update batch, as a dense (gs^3,) vector.
 
-    Batches are dicts with 'rays_o' (B,3), 'rays_d' (B,3), 'meas' (B,) —
-    NaN measurements are masked into no-ops (the reference filters them
-    dynamically, modules/occupancy_grid.py:216-222; here the shapes stay
-    static).  ``density_fn`` maps (P, 3) positions to (P,) densities.
+    The Bayes posterior ``p' = p*Po / (p*Po + (1-p)*Pe)`` is
+    ``logit(p') = logit(p) + log(Po/Pe)`` — the evidence term is independent
+    of the current grid, so data-parallel shards can each compute the delta
+    of their ray sub-batch and ``psum`` it over ICI before one application
+    (`occ_grid_apply_delta`), which keeps the grid bit-replicated across
+    devices while splitting the sensor-model/NeRF-query work.
+
+    ``axis_name`` names the mesh axis for the NeRF adaptive threshold (a
+    *global* mean density, reference: modules/occupancy_grid.py:391-408).
     """
-    grid = state.occ_3d_grid
+    gs = hp.grid_size
+    delta = jnp.zeros((gs * gs * gs,), jnp.float32)
 
     if ray_batch is not None:
         valid = ~jnp.isnan(ray_batch["meas"])
@@ -222,8 +210,9 @@ def occ_grid_update(
         weight = jnp.broadcast_to(
             valid[:, None].astype(jnp.float32), dists.shape
         ).reshape(-1)
-        grid = _bayes_scatter(
-            grid, idxs.reshape(-1, 3), p_occ.reshape(-1), p_emp.reshape(-1), weight
+        delta = _evidence_scatter(
+            delta, gs, idxs.reshape(-1, 3),
+            p_occ.reshape(-1), p_emp.reshape(-1), weight,
         )
 
     if nerf_batch is not None:
@@ -237,11 +226,36 @@ def occ_grid_update(
             nerf_batch["rays_o"], nerf_batch["rays_d"], hp, noise=noise
         )
         density = density_fn(pos.reshape(-1, 3))
-        p_occ, p_emp = nerf_density_probs(density, hp)
+        mean_density = jnp.mean(density)
+        if axis_name is not None:
+            mean_density = jax.lax.pmean(mean_density, axis_name)
+        p_occ, p_emp = nerf_density_probs(density, hp, mean_density)
         weight = jnp.broadcast_to(
             valid[:, None].astype(jnp.float32), (b, hp.M)
         ).reshape(-1)
-        grid = _bayes_scatter(grid, idxs.reshape(-1, 3), p_occ, p_emp, weight)
+        delta = _evidence_scatter(
+            delta, gs, idxs.reshape(-1, 3), p_occ, p_emp, weight
+        )
+    return delta
+
+
+def _evidence_scatter(delta, gs, cell_idxs, probs_occ, probs_emp, weight):
+    d = jnp.log(jnp.clip(probs_occ, 1e-30, None)) - jnp.log(
+        jnp.clip(probs_emp, 1e-30, None)
+    )
+    lin = (cell_idxs[:, 0] * gs + cell_idxs[:, 1]) * gs + cell_idxs[:, 2]
+    return delta.at[lin].add(d * weight)
+
+
+def occ_grid_apply_delta(
+    state: OccGridState, hp: OccGridHParams, delta
+) -> OccGridState:
+    """Apply accumulated log-odds evidence, warmup decay, bitfield rebuild
+    (reference: modules/occupancy_grid.py:94-106)."""
+    gs = hp.grid_size
+    p = jnp.clip(state.occ_3d_grid, 1e-6, 1.0 - 1e-6)
+    logits = _logit(p).reshape(-1) + delta
+    grid = jax.nn.sigmoid(logits).reshape(gs, gs, gs)
 
     # warmup decay toward 0.5 (reference: modules/occupancy_grid.py:94-98)
     update_step = state.update_step + 1
@@ -256,3 +270,30 @@ def occ_grid_update(
         bitfield=bitfield_from_grid(flat, hp.threshold, hp.grid_size),
         update_step=update_step,
     )
+
+
+def occ_grid_update(
+    state: OccGridState,
+    hp: OccGridHParams,
+    density_fn: Callable,
+    key,
+    ray_batch: Optional[dict] = None,
+    nerf_batch: Optional[dict] = None,
+    axis_name: Optional[str] = None,
+) -> OccGridState:
+    """One full VIRUS grid update (reference: modules/occupancy_grid.py:64-106).
+
+    Batches are dicts with 'rays_o' (B,3), 'rays_d' (B,3), 'meas' (B,) —
+    NaN measurements are masked into no-ops (the reference filters them
+    dynamically, modules/occupancy_grid.py:216-222; here the shapes stay
+    static).  ``density_fn`` maps (P, 3) positions to (P,) densities.
+
+    Under ``axis_name`` (inside shard_map) the batches are per-device shards:
+    evidence is all-reduced before the (replicated) application.
+    """
+    delta = occ_grid_delta(
+        hp, density_fn, key, ray_batch, nerf_batch, axis_name
+    )
+    if axis_name is not None:
+        delta = jax.lax.psum(delta, axis_name)
+    return occ_grid_apply_delta(state, hp, delta)

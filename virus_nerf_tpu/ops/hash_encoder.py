@@ -42,6 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from virus_nerf_tpu.ops.segment_sum_pallas import (
+    group_segment_sum_t,
+    kernel_applicable,
+)
+
 # the reference's hashing primes (modules/hash_encoder.py:43-51); prime for
 # x is 1, so the additive variant keeps x-stride exactly 1
 _PRIME_Y = 2654435761
@@ -346,6 +351,27 @@ def _batched_segment_rows_sum(vals, rows_local, n_rows: int):
     return cs_ends - cs_starts
 
 
+def _fold_wide(dt, sy: int, sz: int, s: int):
+    """Fold a row-major widened gradient (s, 8F) -> (s, F):
+    dT[r] += dW[(r - o_k) mod s, k], inverting the build's doubling tree
+    (3 halve-by-roll steps, not 7 individual rolls — each padded 2-D roll
+    costs one full-tile pass)."""
+    for stride in (sz, sy, 1):
+        half = dt.shape[1] // 2
+        dt = dt[:, :half] + jnp.roll(dt[:, half:], int(stride % s), axis=0)
+    return dt
+
+
+def _fold_wide_t(dt, sy: int, sz: int, s: int):
+    """Fold a TRANSPOSED widened gradient (8F, s) -> (F, s) — same doubling
+    tree, but the rolls ride the lane axis of a lane-dense array instead of
+    the sublane axis of an 8x lane-padded one."""
+    for stride in (sz, sy, 1):
+        half = dt.shape[0] // 2
+        dt = dt[:half] + jnp.roll(dt[half:], int(stride % s), axis=1)
+    return dt
+
+
 def _hash_encode_bwd(spec: HashGridSpec, res, g):
     rows, w, dtype_carrier = res  # rows: (L, N); w: (L, 8, N)
     table_dtype = dtype_carrier.dtype
@@ -364,33 +390,27 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     for lvl in range(spec.levels):
         groups.setdefault(spec.sizes[lvl], []).append(lvl)
 
-    dwide = [None] * spec.levels
+    use_kernel = jax.default_backend() == "tpu"
+    slabs = [None] * spec.levels  # per-level folded (s, F) grads
     for size, lvls in groups.items():
-        if len(lvls) == 1:
-            lvl = lvls[0]
-            dw = _batched_segment_rows_sum(
-                gv[lvl][None], local[lvl][None], size
-            )[0]
-            dwide[lvl] = dw
+        idx = jnp.asarray(lvls, jnp.int32)
+        if use_kernel and kernel_applicable(size, 8 * F):
+            # windowed MXU segment-sum kernel, transposed layout end to end
+            # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
+            # lane-roll fold, one small final transpose per level
+            dwt = group_segment_sum_t(gv[idx], local[idx], size)
+            for j, lvl in enumerate(lvls):
+                ft = _fold_wide_t(
+                    dwt[j], spec.stride_y[lvl], spec.stride_z[lvl], size
+                )  # (F, size)
+                slabs[lvl] = ft.T
         else:
-            idx = jnp.asarray(lvls, jnp.int32)
             dws = _batched_segment_rows_sum(gv[idx], local[idx], size)
             for j, lvl in enumerate(lvls):
-                dwide[lvl] = dws[j]
+                slabs[lvl] = _fold_wide(
+                    dws[j], spec.stride_y[lvl], spec.stride_z[lvl], size
+                )
 
-    # fold the widened gradient back: dT[r] += dW[(r - o_k) mod s, k],
-    # inverting the build's doubling tree (3 halve-by-roll steps, not 7
-    # individual rolls — each padded 2-D roll costs one full-tile pass)
-    slabs = []
-    for lvl in range(spec.levels):
-        s = spec.sizes[lvl]
-        dt = dwide[lvl]  # (s, 8F)
-        for stride in (spec.stride_z[lvl], spec.stride_y[lvl], 1):
-            half = dt.shape[1] // 2
-            dt = dt[:, :half] + jnp.roll(
-                dt[:, half:], int(stride % s), axis=0
-            )
-        slabs.append(dt)  # (s, F)
     grad_table = jnp.concatenate(slabs, axis=0)  # (total_rows, F)
     return (grad_table.reshape(-1).astype(table_dtype), None)
 

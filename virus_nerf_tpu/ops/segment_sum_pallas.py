@@ -1,4 +1,4 @@
-"""Dense segment sum over a sorted stream as a Pallas TPU kernel.
+"""Dense segment sum over sorted streams as a Pallas TPU kernel.
 
 The hash-encoder backward needs ``dW[r] = sum_{i: key_i == r} val_i`` for
 every dense table row r (reference: the Taichi-autodiff scatter of
@@ -8,14 +8,23 @@ dense gather of cs at segment starts) is bound by the gather engine at
 
 This kernel exploits that the stream is SORTED by key: the samples
 contributing to a 2048-row block of the output are one contiguous window of
-the stream.  Per grid step it DMAs successive (window, F) value chunks into
-VMEM and accumulates ``onehot(key - block_base)^T-style`` products on the
-MXU — no dense gather at all.  Cost is ~linear in samples + blocks instead
-of table rows.
+the stream.  Per grid step it DMAs successive (window, 128) value chunks
+into VMEM and contracts them against a one-hot key-match matrix on the MXU
+— no dense gather at all.  Cost is ~linear in samples + blocks instead of
+table rows.
 
-Exactness: the one-hot matrix is exact in bf16 (0/1); values ride as a
-bf16 hi/lo split (``v = hi + lo`` with both halves bf16, ~16 mantissa bits)
-accumulated in f32 — tighter than the reference's fp16-autocast gradients.
+Two layout rules learned the hard way (tools/PERF_NOTES.md):
+
+- the OUTPUT must be transposed, ``(F, n_rows)`` with the big axis in TPU
+  lanes: a ``(n_rows, F)`` result with F < 128 is stored lane-padded in
+  HBM (8x traffic for F=16) and poisons every downstream op.  The kernel
+  therefore computes ``V^T A^T`` ((128, W) x (W, B) -> (128, B)) instead of
+  ``A V`` — the measured end-to-end win of the transposed pipeline over the
+  XLA path is 48.4 -> 34.8 ms for the 10-level hashed group (v5e);
+- the bf16 hi/lo value split (``v = hi + lo``, both bf16, ~16 mantissa
+  bits, f32 accumulation) is recombined in-register before the output
+  write.  Accuracy beats the f32-cumsum formulation (which cancels against
+  growing prefix sums): rel90 4.5e-6 vs 3.7e-5 against a float64 oracle.
 
 The per-block sample ranges arrive via scalar prefetch; a dynamic
 ``fori_loop`` walks ceil(range/window) chunks, so arbitrarily skewed key
@@ -28,33 +37,35 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _B = 2048  # output rows per grid step
 _W = 1024  # stream samples per DMA chunk
 
 
-def _wss_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem, sem,
-                *, F2: int):
+def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem, sem,
+              *, F: int, Kp: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b = pl.program_id(0)
-    # round the window start down to the DMA tile (Mosaic requires provably
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    # round the window start down to the DMA chunk (Mosaic requires provably
     # aligned dynamic slices); the extra leading samples have keys from
     # earlier blocks and match no one-hot row, so they are harmless
-    p0 = (starts_ref[b] // _W) * _W
-    p1 = starts_ref[b + 1]
-    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    p0 = (starts_ref[g, b] // _W) * _W
+    p1 = starts_ref[g, b + 1]
     n_chunks = (p1 - p0 + _W - 1) // _W
 
-    def body(c, carry):
+    def body(c, acc):
         off = pl.multiple_of(p0 + c * _W, _W)
-        cp_k = pltpu.make_async_copy(sk_hbm.at[pl.ds(off, _W)], sk_vmem, sem)
+        # keys live in ONE flat vector: a (G, K) int32 array cannot be
+        # sliced to a single row (sublane tile is 8)
+        koff = pl.multiple_of(g * Kp + off, _W)
+        cp_k = pltpu.make_async_copy(sk_hbm.at[pl.ds(koff, _W)], sk_vmem, sem)
         cp_k.start()
         cp_k.wait()
         cp_v = pltpu.make_async_copy(
-            sv_hbm.at[pl.ds(off, _W)], sv_vmem, sem
+            sv_hbm.at[g, pl.ds(off, _W)], sv_vmem, sem
         )
         cp_v.start()
         cp_v.wait()
@@ -64,44 +75,54 @@ def _wss_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem, sem,
             jax.lax.broadcasted_iota(jnp.int32, (_B, _W), 0)
             == local[None, :]
         ).astype(jnp.bfloat16)
-        prod = jnp.dot(A, sv_vmem[:], preferred_element_type=jnp.float32)
-        # hi + lo halves recombine in-register: the output stays F-wide,
-        # halving its (already lane-padded) HBM traffic
-        F = F2 // 2
-        out_ref[:] += prod[:, :F] + prod[:, F:F2]
-        return carry
+        # contract the W axis of both operands: (W,128)^T x (W,B)^T on the
+        # MXU, result (128, B) — the table axis lands in LANES
+        prod = jax.lax.dot_general(
+            sv_vmem[:], A, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # hi + lo halves recombine in-register: the output stays F-wide
+        return acc + prod[:F, :] + prod[F:2 * F, :]
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((F, _B), jnp.float32)
+    )
+    out_ref[0] = acc
 
 
-def _windowed_segment_sum_tpu(sv, sk, n_rows: int):
+def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K, F = sv.shape
+    G, K, F = sv.shape
     # bf16 hi/lo split: exact 0/1 one-hot x (hi + lo) in f32 accumulation
     hi = sv.astype(jnp.bfloat16)
     lo = (sv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    svp = jnp.concatenate([hi, lo], axis=1)  # (K, 2F) bf16
-    # pad one full window (sentinel key n_rows never matches a block row)
-    # and the feature axis to the 128-lane tile (manual DMA slices must be
-    # lane-tile aligned; the MXU runs 128-wide regardless)
-    svp = jnp.pad(svp, ((0, _W), (0, 128 - 2 * F)))
-    skp = jnp.pad(sk, (0, _W), constant_values=n_rows)
+    svp = jnp.concatenate([hi, lo], axis=2)  # (G, K, 2F) bf16
+    # pad the stream to a whole number of DMA chunks with at least one
+    # sentinel row (key n_rows never matches a block row), and the feature
+    # axis to the 128-lane tile (manual DMA slices must be tile aligned;
+    # the MXU runs 128-wide regardless)
+    Kp = ((K + 1 + _W - 1) // _W) * _W
+    svp = jnp.pad(svp, ((0, 0), (0, Kp - K), (0, 128 - 2 * F)))
+    skp = jnp.pad(
+        sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
+    ).reshape(-1)
 
     n_blocks = n_rows // _B
     block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * _B
-    starts = jnp.searchsorted(sk, block_edges).astype(jnp.int32)
+    starts = jax.vmap(lambda k: jnp.searchsorted(k, block_edges))(sk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        grid=(G, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (_B, F), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+            (1, F, _B), lambda g, b, s: (g, 0, b),
+            memory_space=pltpu.MemorySpace.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((_W,), jnp.int32),
@@ -110,10 +131,10 @@ def _windowed_segment_sum_tpu(sv, sk, n_rows: int):
         ],
     )
     return pl.pallas_call(
-        partial(_wss_kernel, F2=2 * F),
+        partial(_t_kernel, F=F, Kp=Kp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, F), jnp.float32),
-    )(starts, skp, svp)
+        out_shape=jax.ShapeDtypeStruct((G, F, n_rows), jnp.float32),
+    )(starts.astype(jnp.int32), skp, svp)
 
 
 def _windowed_segment_sum_jnp(sv, sk, n_rows: int):
@@ -129,17 +150,52 @@ def _windowed_segment_sum_jnp(sv, sk, n_rows: int):
     return cs_ends - cs_starts
 
 
+def kernel_applicable(n_rows: int, F: int) -> bool:
+    """Pallas-path eligibility: whole output blocks, and the hi/lo split
+    must fit the 128-lane tile."""
+    return n_rows % _B == 0 and 2 * F <= 128
+
+
+def group_segment_sum_t(vals, keys, n_rows: int):
+    """Dense per-row sums for a group of same-size levels, TRANSPOSED.
+
+    Sorts each level's stream by key (multi-operand ``lax.sort`` of keys +
+    positions, then a per-level row-permute gather — the fast gather form
+    on TPU) and reduces it with the windowed MXU kernel.
+
+    Args:
+        vals: (G, K, F) f32 per-level values (unsorted).
+        keys: (G, K) int32 row ids in [0, n_rows).
+        n_rows: dense output rows per level.
+    Returns:
+        (G, F, n_rows) f32 sums — table axis in lanes (see module doc).
+    """
+    G, K, F = vals.shape
+    pi = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (G, K))
+    sk, sp = jax.lax.sort([keys, pi], dimension=1, num_keys=1)
+    sv = jnp.stack([jnp.take(vals[g], sp[g], axis=0) for g in range(G)])
+    if jax.default_backend() == "tpu" and kernel_applicable(n_rows, F):
+        return _sorted_group_segment_sum_t_tpu(sv, sk, n_rows)
+    out = jnp.stack(
+        [_windowed_segment_sum_jnp(sv[g], sk[g], n_rows) for g in range(G)]
+    )  # (G, n_rows, F)
+    return out.transpose(0, 2, 1)
+
+
 def windowed_segment_sum(sv, sk, n_rows: int):
-    """Dense per-row sums of a key-sorted value stream.
+    """Dense per-row sums of a single key-sorted value stream.
 
     Args:
         sv: (K, F) f32 values, sorted by key.
         sk: (K,) int32 sorted keys in [0, n_rows).
-        n_rows: dense output rows; the Pallas path requires
-            ``n_rows % 2048 == 0`` (hashed hash-grid levels satisfy this).
+        n_rows: dense output rows.
     Returns:
         (n_rows, F) f32 sums.
     """
-    if jax.default_backend() == "tpu" and n_rows % _B == 0:
-        return _windowed_segment_sum_tpu(sv, sk, n_rows)
+    if jax.default_backend() == "tpu" and kernel_applicable(
+        n_rows, sv.shape[1]
+    ):
+        return _sorted_group_segment_sum_t_tpu(
+            sv[None], sk[None], n_rows
+        )[0].T
     return _windowed_segment_sum_jnp(sv, sk, n_rows)

@@ -9,12 +9,17 @@ The reference trains on exactly one GPU — no torch.distributed anywhere
   axis index),
 - gradients are ``psum``-ed over ICI, the optimizer step is computed
   identically on every device, so replication is preserved by construction,
-- the VIRUS occupancy-grid update runs with the *same* key on every device,
-  which keeps the grid replicated without any collective (its Bayes
-  scatter-add is deterministic).
+- the VIRUS occupancy-grid update is sharded too: each device computes the
+  log-odds evidence of its shard of the update rays, evidence is psum-ed
+  over ICI, and the Bayes application runs replicated,
+- the running USS min-depth tracker folds the all-gathered batch, so the
+  'closest' sampling strategy sees identical stats on every device.
 
-This mirrors the plan in SURVEY.md §5.8: ICI for ray-parallel training, DCN
-(process-level) for PSO population parallelism.
+All of it is the Trainer's OWN step/chunk code (trainer._make_chunk_body)
+with an ``axis_name`` threaded through — the multi-chip path cannot drift
+from single-chip semantics.  This mirrors the plan in SURVEY.md §5.8: ICI
+for ray-parallel training, DCN (process-level) for PSO population
+parallelism.
 """
 
 from __future__ import annotations
@@ -22,8 +27,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -45,10 +48,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
             check_rep=False,
         )
 
-from virus_nerf_tpu.data.dataset import DeviceDataset, sample_batch
-from virus_nerf_tpu.models.renderer import render_rays
-from virus_nerf_tpu.training.loss import compute_loss
-from virus_nerf_tpu.training.trainer import Trainer, TrainState
+from virus_nerf_tpu.training.trainer import Trainer, TrainState  # noqa: F401
 
 
 def make_mesh(
@@ -81,66 +81,47 @@ def make_mesh(
 
 
 def make_dp_train_step(trainer: Trainer, mesh: Mesh, axis: str = "data"):
-    """Build a jitted data-parallel train step from a Trainer's config.
+    """Build a jitted data-parallel train step from a Trainer.
 
     The returned function has the same signature as the single-device step:
     ``(state, dataset, elapse_time) -> (state, metrics)`` with state and
-    dataset replicated across the mesh.
+    dataset replicated across the mesh.  The body is the Trainer's OWN
+    train body (sampling, render, loss, uss_stats) with ``axis_name`` wired
+    through — identical semantics to single-chip plus ICI collectives.
     """
-    cfg = trainer.cfg
-    model = trainer.model
-    optimizer = trainer.optimizer
-    weights = trainer.loss_weights
-    sensors = tuple(cfg.training.sensors)
-    strategy = cfg.training.sampling_strategy
     n_dev = mesh.shape[axis]
-    local_batch = cfg.training.batch_size // n_dev
-    esf = cfg.exp_step_factor
-    max_samples = cfg.training.max_samples_per_ray
-    n_candidates = cfg.training.march_candidates
-    use_time = cfg.training.real_time_simulation
-
-    def dp_step(state: TrainState, dataset: DeviceDataset, elapse_time):
-        idx = jax.lax.axis_index(axis)
-        key, k_batch, k_render = jax.random.split(state.key, 3)
-        k_batch = jax.random.fold_in(k_batch, idx)
-        k_render = jax.random.fold_in(k_render, idx)
-
-        batch = sample_batch(
-            dataset, k_batch, local_batch, strategy,
-            elapse_time=elapse_time if use_time else None,
-        )
-
-        def loss_fn(params):
-            results = render_rays(
-                model, params, state.grid.occ_bool,
-                batch.rays_o, batch.rays_d, k_render,
-                exp_step_factor=esf, max_samples=max_samples,
-                n_candidates=n_candidates,
-            )
-            loss, loss_dict = compute_loss(results, batch, weights, sensors)
-            return loss, loss_dict
-
-        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        # all-reduce gradients over ICI; every device then applies the same
-        # update, preserving replication
-        grads = jax.lax.pmean(grads, axis)
-        updates, opt_state = optimizer.update(grads, state.opt_state)
-        params = optax.apply_updates(state.params, updates)
-
-        metrics = {
-            "loss": jax.lax.pmean(loss, axis),
-            **{f"loss_{k}": jax.lax.pmean(v, axis) for k, v in loss_dict.items()},
-        }
-        new_state = TrainState(
-            params=params, opt_state=opt_state, grid=state.grid,
-            key=key, step=state.step + 1, uss_stats=state.uss_stats,
-        )
-        return new_state, metrics
-
+    body = trainer._make_train_body(axis_name=axis, n_shards=n_dev)
     mapped = _shard_map(
-        dp_step, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
+        body, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
+    )
+    return jax.jit(mapped)
+
+
+def make_dp_occ_update(trainer: Trainer, mesh: Mesh, axis: str = "data"):
+    """Data-parallel VIRUS occupancy-grid update: each device computes the
+    log-odds evidence of its shard of the update batches; evidence is
+    psum-ed over ICI; the Bayes application/decay/bitfield rebuild runs
+    replicated (grids/occupancy_grid.py occ_grid_delta)."""
+    n_dev = mesh.shape[axis]
+    body = trainer._make_occ_body(axis_name=axis, n_shards=n_dev)
+    mapped = _shard_map(
+        body, mesh, in_specs=(P(), P(), P()), out_specs=P()
+    )
+    return jax.jit(mapped)
+
+
+def make_dp_train_chunk(
+    trainer: Trainer, mesh: Mesh, chunk_steps: int, axis: str = "data"
+):
+    """The full data-parallel training chunk: ``chunk_steps`` scan-fused
+    train steps with the occupancy-grid update folded in as ``lax.cond``
+    every ``update_interval`` steps — the multi-chip twin of
+    ``Trainer._make_train_chunk`` (one device program per dispatch, grid
+    and uss_stats updates INCLUDED, state replicated across the mesh)."""
+    n_dev = mesh.shape[axis]
+    body = trainer._make_chunk_body(chunk_steps, axis_name=axis,
+                                    n_shards=n_dev)
+    mapped = _shard_map(
+        body, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
     )
     return jax.jit(mapped)

@@ -44,7 +44,10 @@ def train_and_evaluate(
     train_ds, scene, info = train
     test_ds, _, test_info = test
 
-    trainer = Trainer(cfg, train_ds, test_dataset=test_ds, scene=scene)
+    trainer = Trainer(
+        cfg, train_ds, test_dataset=test_ds, scene=scene,
+        img_wh=test_info.get("img_wh"),
+    )
     state = trainer.train()
 
     evaluator = Evaluator(

@@ -65,12 +65,16 @@ class Trainer:
         train_dataset: DeviceDataset,
         test_dataset: Optional[DeviceDataset] = None,
         scene: Optional[Scene] = None,
+        img_wh: Optional[tuple] = None,
     ):
         self.cfg = cfg
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.scene = scene
+        self.img_wh = img_wh
         self.logger = make_logger(cfg)
+        self._evaluator = None
+        self._eval_rng = np.random.default_rng(cfg.seed)
 
         self.model = NGPModel(
             scale=cfg.model.scale,
@@ -190,26 +194,41 @@ class Trainer:
         return "closest" in pixs
 
     # ------------------------------------------------------------- train step
-    def _make_train_body(self):
+    def _make_train_body(self, axis_name: Optional[str] = None,
+                         n_shards: int = 1):
         """The unjitted single-step body, shared by the per-step jit, the
-        scan-fused multi-step loop, and the data-parallel shard_map."""
+        scan-fused multi-step loop, and the data-parallel shard_map.
+
+        Under ``axis_name`` (inside shard_map over an ``n_shards``-device
+        mesh) each device samples its own ``batch_size/n_shards`` rays with
+        an axis-index-folded key, gradients/metrics are all-reduced over ICI,
+        and the (replicated) optimizer step preserves replication by
+        construction — the TPU-native shape of data parallelism for the
+        reference's single-GPU loop (SURVEY.md §5.8)."""
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
         weights = self.loss_weights
         sensors = tuple(cfg.training.sensors)
         strategy = cfg.training.sampling_strategy
-        batch_size = cfg.training.batch_size
+        assert cfg.training.batch_size % n_shards == 0
+        batch_size = cfg.training.batch_size // n_shards
         esf = cfg.exp_step_factor
         max_samples = cfg.training.max_samples_per_ray
         n_candidates = cfg.training.march_candidates
         sample_budget = cfg.training.sample_budget
+        if sample_budget is not None:
+            sample_budget = max(1, sample_budget // n_shards)
         use_time = cfg.training.real_time_simulation
 
         uses_closest = self._uses_closest()
 
         def train_step(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k_batch, k_render = jax.random.split(state.key, 3)
+            if axis_name is not None:
+                idx = jax.lax.axis_index(axis_name)
+                k_batch = jax.random.fold_in(k_batch, idx)
+                k_render = jax.random.fold_in(k_render, idx)
             batch = sample_batch(
                 dataset, k_batch, batch_size, strategy,
                 elapse_time=elapse_time if use_time else None,
@@ -232,6 +251,10 @@ class Trainer:
             (loss, (loss_dict, results)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            if axis_name is not None:
+                # all-reduce gradients over ICI; every device then applies
+                # the same update, preserving replication
+                grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = optimizer.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
 
@@ -245,6 +268,15 @@ class Trainer:
                 "vr_samples": results["vr_samples"],
                 "overflow": results.get("overflow", jnp.int32(0)),
             }
+            if axis_name is not None:
+                metrics = {
+                    k: (
+                        jax.lax.psum(v, axis_name)
+                        if k in ("rm_samples", "vr_samples", "overflow")
+                        else jax.lax.pmean(v, axis_name)
+                    )
+                    for k, v in metrics.items()
+                }
             uss_stats = state.uss_stats
             if uses_closest:
                 uss_mask = (
@@ -252,9 +284,21 @@ class Trainer:
                     .at[dataset.uss_mask_idx]
                     .set(True)
                 )
+                img_idxs, pix_idxs, depths = (
+                    batch.img_idxs, batch.pix_idxs, results["depth"],
+                )
+                if axis_name is not None:
+                    # gather the full batch (a few KB) so every device folds
+                    # identical values -> uss_stats stays replicated
+                    img_idxs = jax.lax.all_gather(
+                        img_idxs, axis_name, tiled=True
+                    )
+                    pix_idxs = jax.lax.all_gather(
+                        pix_idxs, axis_name, tiled=True
+                    )
+                    depths = jax.lax.all_gather(depths, axis_name, tiled=True)
                 uss_stats = uss_stats_update(
-                    uss_stats, batch.img_idxs, batch.pix_idxs,
-                    results["depth"], uss_mask,
+                    uss_stats, img_idxs, pix_idxs, depths, uss_mask,
                 )
             return (
                 TrainState(
@@ -273,7 +317,11 @@ class Trainer:
     def _make_occ_update(self):
         return jax.jit(self._make_occ_body())
 
-    def _make_occ_body(self):
+    def _make_occ_body(self, axis_name: Optional[str] = None,
+                       n_shards: int = 1):
+        """Under ``axis_name`` each device samples a 1/n_shards shard of the
+        update batches and the log-odds evidence is psum-ed over ICI before
+        one replicated application (occupancy_grid.occ_grid_delta)."""
         cfg = self.cfg
         model = self.model
         hp = self.occ_hp
@@ -281,6 +329,8 @@ class Trainer:
         b = cfg.occ_grid.batch_size
         b_ray = int(b * cfg.occ_grid.batch_ratio_ray_update)
         b_nerf = b - b_ray
+        b_ray = max(1, b_ray // n_shards)
+        b_nerf = max(1, b_nerf // n_shards)
         use_time = cfg.training.real_time_simulation
 
         # sensor cascade RGBD -> ToF/USS
@@ -298,6 +348,11 @@ class Trainer:
 
         def occ_update(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k1, k2, k3 = jax.random.split(state.key, 4)
+            if axis_name is not None:
+                idx = jax.lax.axis_index(axis_name)
+                k1 = jax.random.fold_in(k1, idx)
+                k2 = jax.random.fold_in(k2, idx)
+                k3 = jax.random.fold_in(k3, idx)
             et = elapse_time if use_time else None
             ray_b = sample_batch(
                 dataset, k1, b_ray, {"imgs": "all", "pixs": ray_sel[0]}, et
@@ -316,6 +371,7 @@ class Trainer:
                     "rays_o": nerf_b.rays_o, "rays_d": nerf_b.rays_d,
                     "meas": nerf_b.depths[nerf_sel[1]],
                 },
+                axis_name=axis_name,
             )
             return state._replace(grid=grid, key=key)
 
@@ -352,24 +408,37 @@ class Trainer:
         per-buffer HTTP latency.  Only the "occ" grid fits (the NGP grid's
         warmup changes shapes; it stays on the per-step path).
         """
-        train_body = self._make_train_body()
-        occ_body = self._make_occ_body()
+        return jax.jit(self._make_chunk_body(chunk_steps))
+
+    def _make_chunk_body(self, chunk_steps: int,
+                         axis_name: Optional[str] = None, n_shards: int = 1):
+        """Unjitted chunk body (scan of cond-grid-update + train step) —
+        jitted directly for single-chip, or wrapped in shard_map over the
+        data-parallel mesh (parallel/data_parallel.py), so the multi-chip
+        path runs the IDENTICAL training semantics plus ICI collectives."""
+        train_body = self._make_train_body(axis_name, n_shards)
+        occ_body = self._make_occ_body(axis_name, n_shards)
         interval = self.grid_update_interval
 
-        @jax.jit
         def train_chunk(state: TrainState, dataset: DeviceDataset, elapse_time):
-            def body(state, _):
+            # a scalar elapse_time is frozen for the whole chunk; the host
+            # loop passes a (chunk_steps,) vector extrapolated from the
+            # measured per-step duration so real_time_simulation advances
+            # within the fused chunk
+            ets = jnp.broadcast_to(
+                jnp.asarray(elapse_time, jnp.float32), (chunk_steps,)
+            )
+
+            def body(state, et):
                 state = jax.lax.cond(
                     state.step % interval == 0,
-                    lambda s: occ_body(s, dataset, elapse_time),
+                    lambda s: occ_body(s, dataset, et),
                     lambda s: s,
                     state,
                 )
-                return train_body(state, dataset, elapse_time)
+                return train_body(state, dataset, et)
 
-            state, metrics = jax.lax.scan(
-                body, state, None, length=chunk_steps
-            )
+            state, metrics = jax.lax.scan(body, state, ets)
             return state, metrics  # metrics stacked over the chunk
 
         return train_chunk
@@ -405,7 +474,11 @@ class Trainer:
 
     def _train_fused(self, state: TrainState, tic: float):
         """Scan-fused loop: one device dispatch per
-        ``eval_every_n_steps``-sized chunk (grid updates inside)."""
+        ``eval_every_n_steps``-sized chunk (grid updates inside).  All
+        per-step metrics of the chunk are logged (the scan already returns
+        them stacked); once per chunk an intermediate depth evaluation on
+        test images fills the ``mnn`` column
+        (reference: training/trainer.py:274-302)."""
         cfg = self.cfg
         chunk = max(1, min(cfg.evaluation.eval_every_n_steps,
                            cfg.training.max_steps))
@@ -414,25 +487,33 @@ class Trainer:
         )
         step = 0
         profiled = False
+        dt_est = 0.0  # measured per-step duration for real_time_simulation
         while step < cfg.training.max_steps:
-            elapse = jnp.float32(time.time() - tic)
+            ets = jnp.asarray(
+                time.time() - tic + dt_est * np.arange(chunk), jnp.float32
+            )
             if cfg.training.profile_dir and not profiled and step > 0:
                 # profile the second chunk (first is compile + warmup)
                 with jax.profiler.trace(cfg.training.profile_dir):
                     state, metrics = train_chunk(
-                        state, self.train_dataset, elapse
+                        state, self.train_dataset, ets
                     )
                     jax.block_until_ready(state.params)
                 profiled = True
                 step += chunk
                 continue
-            state, metrics = train_chunk(state, self.train_dataset, elapse)
-            # fetch only the last step's scalars (one transfer per chunk)
-            m = {k: float(v[-1]) for k, v in metrics.items()}
+            chunk_tic = time.time()
+            state, metrics = train_chunk(state, self.train_dataset, ets)
+            m = {k: np.asarray(v) for k, v in metrics.items()}  # (chunk,)
+            if step > 0:  # first chunk's wall time is dominated by compile
+                dt_est = max(time.time() - chunk_tic, 0.0) / chunk
+            mnn = self._intermediate_eval(state, time.time() - tic)
+            self._log_chunk(step, m, tic, mnn)
             step += chunk
-            self._log_step(step - 1, m, tic)
             if cfg.training.debug_mode:
-                self._debug_check_state(state, m, step)
+                self._debug_check_state(
+                    state, {k: float(v[-1]) for k, v in m.items()}, step
+                )
             if time.time() - tic > cfg.training.max_time:
                 self.logger.info(f"max_time reached at step {step}")
                 break
@@ -500,28 +581,86 @@ class Trainer:
                 )
                 state = upd(state, self.train_dataset, elapse)
             state, metrics = train_step(state, self.train_dataset, elapse)
-            if step % cfg.evaluation.eval_every_n_steps == 0:
-                self._log_step(
-                    step, {k: float(v) for k, v in metrics.items()}, tic
-                )
+            mnn = (
+                self._intermediate_eval(state, time.time() - tic)
+                if step % cfg.evaluation.eval_every_n_steps == 0
+                else np.nan
+            )
+            self._log_chunk(
+                step,
+                {k: np.asarray([v], np.float64) for k, v in metrics.items()},
+                tic, mnn,
+                quiet=step % cfg.evaluation.eval_every_n_steps != 0,
+            )
             if time.time() - tic > cfg.training.max_time:
                 self.logger.info(f"max_time reached at step {step}")
                 break
         return state, step + 1
 
-    def _log_step(self, step: int, m: Dict[str, float], tic: float):
-        self.logs["time"].append(time.time() - tic)
-        self.logs["step"].append(step)
-        self.logs["loss"].append(m["loss"])
-        self.logs["color_loss"].append(m.get("loss_color", np.nan))
-        self.logs["depth_loss"].append(m.get("loss_depth", np.nan))
-        self.logs["psnr"].append(m["psnr"])
-        self.logs["mnn"].append(np.nan)
-        self.logger.info(
-            f"step {step:5d} | loss {m['loss']:.4f} | "
-            f"psnr {m['psnr']:.2f} | rm {int(m['rm_samples'])} | "
-            f"vr {int(m['vr_samples'])}"
+    # ------------------------------------------------------------- logging
+    def _get_evaluator(self):
+        if self._evaluator is None:
+            from virus_nerf_tpu.evaluation.evaluator import Evaluator
+
+            self._evaluator = Evaluator(
+                self.model, self.cfg, self.test_dataset, self.scene,
+                img_wh=self.img_wh,
+            )
+        return self._evaluator
+
+    def _intermediate_eval(self, state: TrainState, elapse: float) -> float:
+        """Periodic depth evaluation during training
+        (reference: training/trainer.py:274-302): render 360° scans for
+        ``num_depth_pts_per_step`` random test images and return the NeRF
+        mean NND in zone3 (the ``mnn`` log column).  NaN without a test
+        set."""
+        if self.test_dataset is None or self.scene is None:
+            return float("nan")
+        n_pts = int(self.cfg.evaluation.num_depth_pts_per_step)
+        if n_pts <= 0:
+            return float("nan")
+        idxs = np.arange(self.test_dataset.n_images)
+        if self.cfg.training.real_time_simulation:
+            t = np.asarray(self.test_dataset.times)
+            seen = idxs[t <= elapse]
+            if seen.size:
+                idxs = seen
+        sel = self._eval_rng.choice(idxs, size=min(n_pts, idxs.size),
+                                    replace=True)
+        ev = self._get_evaluator()
+        metrics, _ = ev.evaluate_depth(
+            state.params, state.grid.occ_bool, sel, sensors=("NeRF",),
         )
+        return float(metrics["NeRF"]["nn_mean"]["zone3"])
+
+    def _log_chunk(self, first_step: int, m: Dict[str, np.ndarray],
+                   tic: float, mnn: float = np.nan, quiet: bool = False):
+        """Append one logs row PER STEP of the chunk (logs.csv row count ==
+        steps, reference: training/trainer.py:246-268); ``mnn`` lands on the
+        chunk's last row as in the reference (logs['mnn'][-1])."""
+        n = len(m["loss"])
+        now = time.time() - tic
+        nans = np.full(n, np.nan)
+        for j in range(n):
+            self.logs["time"].append(now)
+            self.logs["step"].append(first_step + j)
+            self.logs["loss"].append(float(m["loss"][j]))
+            self.logs["color_loss"].append(
+                float(m.get("loss_color", nans)[j])
+            )
+            self.logs["depth_loss"].append(
+                float(m.get("loss_depth", nans)[j])
+            )
+            self.logs["psnr"].append(float(m["psnr"][j]))
+            self.logs["mnn"].append(mnn if j == n - 1 else np.nan)
+        if not quiet:
+            last = {k: float(v[-1]) for k, v in m.items()}
+            self.logger.info(
+                f"step {first_step + n - 1:5d} | loss {last['loss']:.4f} | "
+                f"psnr {last['psnr']:.2f} | mnn {mnn:.3f} | "
+                f"rm {int(last['rm_samples'])} | "
+                f"vr {int(last['vr_samples'])}"
+            )
 
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, state: TrainState, path: str):
