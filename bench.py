@@ -38,10 +38,66 @@ CHUNK = 25  # train steps fused into one dispatch: long enough to amortize
 # XLA compile of the fused program in single-digit minutes
 
 
+def check_kernels() -> bool:
+    """On-TPU parity checks of the Pallas kernels against their jnp
+    oracles — the only TPU-side kernel CI (tests run on CPU where the
+    Mosaic path never compiles).  Piggybacks on the bench process to
+    respect the one-TPU-process rule."""
+    import numpy as np
+
+    from virus_nerf_tpu.ops.fused_adam import (
+        _adam_leaf_jnp,
+        _adam_leaf_pallas,
+    )
+    from virus_nerf_tpu.ops.segment_sum_pallas import (
+        _sorted_group_segment_sum_t_tpu,
+        _windowed_segment_sum_jnp,
+    )
+
+    ok = True
+    key = jax.random.PRNGKey(0)
+
+    # windowed segment sum: kernel vs cumsum oracle (incl. a skewed level)
+    G, K, R, F = 2, 8192, 2**14, 16
+    sk = jnp.sort(jax.random.randint(key, (G, K), 0, R, jnp.int32), axis=1)
+    sk = sk.at[1].set(jnp.sort(
+        jax.random.randint(key, (K,), 1000, 1900, jnp.int32)))
+    sv = jax.random.normal(jax.random.PRNGKey(1), (G, K, F), jnp.float32)
+    got = np.asarray(
+        jax.jit(_sorted_group_segment_sum_t_tpu, static_argnums=2)(sv, sk, R)
+    )
+    want = np.stack([
+        np.asarray(_windowed_segment_sum_jnp(sv[g], sk[g], R)).T
+        for g in range(G)
+    ])
+    err = np.max(np.abs(got - want))
+    if err > 1e-3:
+        print(f"# segment_sum kernel mismatch: {err:.3e}")
+        ok = False
+
+    # fused adam: pallas vs jnp, one big flat leaf
+    n = 1 << 21
+    g = jax.random.normal(key, (n,), jnp.float32)
+    mu = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.1
+    nu = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (n,))) * 0.01
+    scal = jnp.asarray([1e-2, 0.1, 0.001], jnp.float32)
+    args = (g, mu, nu, scal, 0.9, 0.999, 1e-15)
+    outs_p = jax.jit(_adam_leaf_pallas, static_argnums=(4, 5, 6))(*args)
+    outs_j = jax.jit(_adam_leaf_jnp, static_argnums=(4, 5, 6))(*args)
+    for a, b, name in zip(outs_p, outs_j, ("delta", "mu", "nu")):
+        e = float(jnp.max(jnp.abs(a - b)))
+        if e > 1e-6:
+            print(f"# fused_adam {name} mismatch: {e:.3e}")
+            ok = False
+    return ok
+
+
 def main():
     from virus_nerf_tpu.configs.config import Config
     from virus_nerf_tpu.data import make_synthetic_dataset
     from virus_nerf_tpu.training import Trainer
+
+    kernels_ok = check_kernels() if jax.default_backend() == "tpu" else None
 
     cfg = Config()
     cfg.model.grid_type = "occ"
@@ -96,6 +152,7 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "kernels_ok": kernels_ok,
             }
         )
     )

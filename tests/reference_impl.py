@@ -155,3 +155,76 @@ def composite_np(sigmas, rgbs, deltas, ts, T_threshold):
             T = T * (1.0 - a)
             count += 1
     return opacity, depth, rgb, ws, count
+
+
+def hash_encode_xor_np(table, xyz, spec):
+    """Sequential encode under the reference's EXACT hash: under_hash below
+    begin_fast_hash_level, ``(x*1 ^ y*2654435761 ^ z*805459861) % size``
+    above, uint32 multiply wrap-around
+    (reference: modules/hash_encoder.py:43-62,115-141)."""
+    primes = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+    n = xyz.shape[0]
+    out = np.zeros((n, spec.levels * spec.feat_dim), dtype=np.float64)
+    table2 = np.asarray(table, np.float64).reshape(-1, spec.feat_dim)
+    for i in range(n):
+        for level in range(spec.levels):
+            scale = spec.scales[level]
+            res = spec.resolutions[level]
+            size = spec.sizes[level]
+            off = spec.offsets[level]
+            pos = xyz[i].astype(np.float64) * scale + 0.5
+            pg = np.floor(pos).astype(np.uint64)
+            frac = pos - pg
+            feat = np.zeros(spec.feat_dim)
+            for corner in range(8):
+                w = 1.0
+                local = np.zeros(3, dtype=np.uint64)
+                for d in range(3):
+                    if (corner >> d) & 1:
+                        local[d] = pg[d] + 1
+                        w *= frac[d]
+                    else:
+                        local[d] = pg[d]
+                        w *= 1.0 - frac[d]
+                if level < spec.begin_fast_hash_level:
+                    idx = (
+                        local[0] + local[1] * res + local[2] * res * res
+                    ) % np.uint64(size)
+                else:
+                    h = np.uint64(0)
+                    for d in range(3):
+                        h ^= (local[d] * primes[d]) & np.uint64(0xFFFFFFFF)
+                    idx = (h & np.uint64(0xFFFFFFFF)) % np.uint64(size)
+                feat += w * table2[off + int(idx)]
+            out[i, level * spec.feat_dim : (level + 1) * spec.feat_dim] = feat
+    return out
+
+
+def xor_corner_rows_np(xyz, spec):
+    """Absolute per-corner rows under the reference hash — the bit-match
+    oracle for ops.hash_encoder.xor_corner_rows."""
+    primes = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+    n = xyz.shape[0]
+    rows = np.zeros((spec.levels, 8, n), np.int64)
+    for i in range(n):
+        for level in range(spec.levels):
+            res = spec.resolutions[level]
+            size = spec.sizes[level]
+            pos = xyz[i].astype(np.float64) * spec.scales[level] + 0.5
+            pg = np.floor(pos).astype(np.uint64)
+            for corner in range(8):
+                local = np.array(
+                    [pg[d] + ((corner >> d) & 1) for d in range(3)],
+                    np.uint64,
+                )
+                if level < spec.begin_fast_hash_level:
+                    idx = (
+                        local[0] + local[1] * res + local[2] * res * res
+                    ) % np.uint64(size)
+                else:
+                    h = np.uint64(0)
+                    for d in range(3):
+                        h ^= (local[d] * primes[d]) & np.uint64(0xFFFFFFFF)
+                    idx = (h & np.uint64(0xFFFFFFFF)) % np.uint64(size)
+                rows[level, corner, i] = spec.offsets[level] + int(idx)
+    return rows

@@ -52,11 +52,14 @@ class TestRun:
 
         out = str(tmp_path / "run")
         metrics = train_and_evaluate(
-            _tiny_cfg(), datasets=shared_datasets, save_dir=out
+            _tiny_cfg(), datasets=shared_datasets, save_dir=out, plot=True
         )
         assert "NeRF" in metrics and "ToF" in metrics
         assert np.isfinite(metrics["NeRF"]["psnr"])
-        for f in ("metrics.csv", "model.npz", "logs.csv", "hparams.json"):
+        for f in ("metrics.csv", "model.npz", "logs.csv", "hparams.json",
+                  "curves.png", "metrics.png",
+                  os.path.join("occgrids", "occgrid.png"),
+                  os.path.join("maps", "map0.png")):
             assert os.path.exists(os.path.join(out, f)), f
 
 

@@ -239,3 +239,70 @@ class TestWindowedSegmentSum:
         )
         np.testing.assert_allclose(got[7], sv.sum(0), rtol=1e-4)
         assert np.all(got[np.arange(R) != 7] == 0)
+
+
+class TestXorHashVariant:
+    """Reference XOR fast-hash bit-parity (VERDICT round-1 item 4: the
+    additive production hash deviates on hashed levels; this variant
+    bit-matches /root/reference/modules/hash_encoder.py:43-62)."""
+
+    def _spec(self):
+        from virus_nerf_tpu.ops.hash_encoder import HashGridSpec
+
+        return HashGridSpec.create(
+            levels=8, feat_dim=2, base_res=4, max_res=64, max_params=2**10
+        )
+
+    def test_indices_bit_match(self, rng):
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.ops.hash_encoder import xor_corner_rows
+        from reference_impl import xor_corner_rows_np
+
+        spec = self._spec()
+        assert spec.begin_fast_hash_level < spec.levels  # hashed levels exist
+        xyz = rng.random((64, 3)).astype(np.float32)
+        rows, _ = xor_corner_rows(spec, jnp.asarray(xyz))
+        want = xor_corner_rows_np(xyz, spec)
+        np.testing.assert_array_equal(np.asarray(rows), want)
+
+    def test_encode_matches_reference_loop(self, rng):
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.ops.hash_encoder import hash_encode_xor
+        from reference_impl import hash_encode_xor_np
+
+        spec = self._spec()
+        table = rng.random(spec.total_params).astype(np.float32)
+        xyz = rng.random((32, 3)).astype(np.float32)
+        got = np.asarray(
+            hash_encode_xor(jnp.asarray(table), jnp.asarray(xyz), spec)
+        )
+        want = hash_encode_xor_np(table, xyz, spec)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_gradient_flows(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from virus_nerf_tpu.ops.hash_encoder import hash_encode_xor
+
+        spec = self._spec()
+        table = jnp.asarray(
+            rng.random((spec.total_rows, spec.feat_dim)).astype(np.float32)
+        )
+        xyz = jnp.asarray(rng.random((16, 3)).astype(np.float32))
+
+        def loss(tb):
+            return jnp.sum(hash_encode_xor(tb, xyz, spec) ** 2)
+
+        g = jax.grad(loss)(table)
+        assert g.shape == table.shape
+        assert float(jnp.sum(jnp.abs(g))) > 0
+        # numeric check against finite differences on one hot row
+        r = int(np.asarray(jnp.argmax(jnp.abs(g[:, 0]))))
+        eps = 1e-3
+        tp = table.at[r, 0].add(eps)
+        tm = table.at[r, 0].add(-eps)
+        fd = (loss(tp) - loss(tm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[r, 0]), float(fd), rtol=2e-2)

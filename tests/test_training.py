@@ -195,3 +195,39 @@ def test_debug_mode_invariant_net():
     )
     with _pytest.raises(FloatingPointError):
         trainer._debug_check_state(bad, {"loss": 1.0}, 8)
+
+
+def test_mapping_quality_regression():
+    """Quality CI threshold (VERDICT round-1 item 3): a 300-step training
+    run on the synthetic room must reach fixed NND bounds — the mapping
+    metrics the reference optimizes for (score definition:
+    /root/reference/run_optimization.py:123-125).  Bounds are ~2x the
+    measured values (median z3 0.22 m, mean z1 0.16 m, coverage z1 0.05 m)
+    so only a real regression trips them."""
+    import time
+
+    from virus_nerf_tpu.evaluation import Evaluator
+
+    cfg = _tiny_config("occ", max_steps=300)
+    cfg.training.batch_size = 512
+    cfg.training.max_time = 1e9
+    cfg.evaluation.eval_every_n_steps = 50
+    cfg.evaluation.num_depth_pts_per_step = 0
+    cfg.evaluation.res_angular = 128
+    cfg.evaluation.res_map = 128
+    cfg.evaluation.batch_size = 1024
+    cfg.evaluation.max_samples_per_ray = 64
+
+    ds, scene, info = make_synthetic_dataset(n_images=8, img_wh=(48, 36))
+    trainer = Trainer(cfg, ds, scene=scene, img_wh=info["img_wh"])
+    state = trainer.train()
+
+    ev = Evaluator(trainer.model, cfg, ds, scene, img_wh=info["img_wh"])
+    m, _ = ev.evaluate_depth(
+        state.params, state.grid.occ_bool, np.array([0, 4]),
+        sensors=("NeRF",),
+    )
+    nerf = m["NeRF"]
+    assert nerf["nn_median"]["zone3"] < 0.45, nerf["nn_median"]
+    assert nerf["nn_mean"]["zone1"] < 0.45, nerf["nn_mean"]
+    assert nerf["nn_mean_inv"]["zone1"] < 0.15, nerf["nn_mean_inv"]

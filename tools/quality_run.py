@@ -1,0 +1,126 @@
+"""Quality-parity run: train the bench synthetic scene to convergence and
+record PSNR/SSIM + zone NND (all three directions) next to the throughput
+row in BASELINE.md.
+
+Mirrors the reference's score definition (run_optimization.py:123-125:
+mean NND of the NeRF scan, zone3) and its headline budget config
+(ethz_usstof_not_optimized_gpu.json shapes).  Writes one JSON file; the
+BASELINE.md table is updated by hand from it.
+
+Usage:  python tools/quality_run.py [--steps 2000] [--out /tmp/quality.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--out", default="/tmp/quality.json")
+    p.add_argument("--eval-every", type=int, default=25)
+    p.add_argument("--hash-variant", default="additive",
+                   choices=["additive", "xor"],
+                   help="additive-vs-XOR quality ablation knob")
+    p.add_argument("--seed", type=int, default=21)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from virus_nerf_tpu.configs.config import Config
+    from virus_nerf_tpu.data import make_synthetic_dataset
+    from virus_nerf_tpu.evaluation import Evaluator
+    from virus_nerf_tpu.training import Trainer
+
+    cfg = Config()
+    cfg.seed = args.seed
+    cfg.model.hash_variant = args.hash_variant
+    cfg.model.grid_type = "occ"
+    cfg.model.grid_size = 128
+    cfg.model.hash_levels = 16
+    cfg.model.hash_log2_T = 19
+    cfg.model.hash_max_res = 1024
+    cfg.training.batch_size = 4096
+    cfg.training.max_samples_per_ray = 128
+    cfg.training.march_candidates = 1024
+    cfg.training.sample_budget = 4096 * 32
+    cfg.training.max_steps = args.steps
+    cfg.training.max_time = 1e9
+    cfg.training.sampling_strategy = {
+        "imgs": "all",
+        "pixs": {"valid_uss": 0.4, "valid_tof": 0.4},
+    }
+    cfg.training.sensors = ["USS", "ToF"]
+    cfg.occ_grid.batch_size = 1024
+    cfg.occ_grid.update_interval = 8
+    cfg.evaluation.eval_every_n_steps = args.eval_every
+    cfg.evaluation.num_depth_pts_per_step = 0  # no mid-train eval: pure speed
+    cfg.evaluation.res_angular = 512
+    cfg.evaluation.res_map = 256
+    cfg.evaluation.batch_size = 8192
+    cfg.evaluation.max_samples_per_ray = 256
+
+    # one pose orbit, every 3rd image held out for evaluation
+    dataset, scene, info = make_synthetic_dataset(n_images=24, img_wh=(160, 120))
+    sel_train = np.arange(24) % 3 != 0
+    sel_test = ~sel_train
+
+    def subset(ds, sel):
+        idx = np.where(sel)[0]
+        return ds._replace(
+            poses=ds.poses[idx], cam_idx=ds.cam_idx[idx], rgbs=ds.rgbs[idx],
+            depths={k: v[idx] for k, v in ds.depths.items()},
+            times=ds.times[idx], sensor_ids=ds.sensor_ids[idx],
+        )
+
+    train_ds = subset(dataset, sel_train)
+    test_ds = subset(dataset, sel_test)
+
+    trainer = Trainer(cfg, train_ds, scene=scene, img_wh=info["img_wh"])
+    tic = time.time()
+    state = trainer.train()
+    train_s = time.time() - tic
+    steps = int(state.step)
+    rays_per_sec = steps * cfg.training.batch_size / train_s
+
+    ev = Evaluator(trainer.model, cfg, test_ds, scene, img_wh=info["img_wh"])
+    metrics = ev.evaluate(
+        state.params, state.grid.occ_bool,
+        depth_img_idxs=np.arange(test_ds.n_images),
+        sensors=("GT", "NeRF", "ToF", "USS"),
+    )
+
+    out = {
+        "hash_variant": args.hash_variant,
+        "seed": args.seed,
+        "steps": steps,
+        "train_seconds": round(train_s, 1),
+        "train_rays_per_sec": round(rays_per_sec, 1),
+        "psnr": float(metrics["NeRF"]["psnr"]),
+        "ssim": float(metrics["NeRF"]["ssim"]),
+    }
+    for sensor in ("NeRF", "ToF", "USS"):
+        if sensor not in metrics:
+            continue
+        m = metrics[sensor]
+        out[sensor] = {
+            "nn_mean_zone3": float(m["nn_mean"]["zone3"]),
+            "nn_median_zone3": float(m["nn_median"]["zone3"]),
+            "nn_inlier_zone3": float(m["nn_inlier"]["zone3"]),
+            "nn_mean_inv_zone3": float(m["nn_mean_inv"]["zone3"]),
+            "nn_mean_inv_360_zone3": float(m["nn_mean_inv_360"]["zone3"]),
+        }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,9 @@ class ModelConfig:
     hash_base_res: int = 16
     hash_log2_T: int = 19
     hash_features_per_level: int = 2
+    # "additive" (fused-corner production hash) | "xor" (reference
+    # bit-parity variant, used by the quality ablation)
+    hash_variant: str = "additive"
     grid_type: str = "occ"  # "occ" (VIRUS grid) | "ngp"
     grid_size: int = 128
     xyz_net_width: int = 64

@@ -305,6 +305,10 @@ def load_rh_dataset(
         split_name=f"split_{rh2.subsession}.csv",
     )
     df = df[labels == split]
+    if cfg.dataset.keep_sensor != "all":
+        # keep observations of one named sensor only
+        # (reference: datasets/dataset_rh.py:207-261 getIdxFromSensorName)
+        df = df[df["sensor_id"] == rh.name2id(cfg.dataset.keep_sensor, "s")]
     if cfg.dataset.keep_N_observations != "all":
         df = df.iloc[: int(cfg.dataset.keep_N_observations)]
 

@@ -50,6 +50,16 @@ class Evaluator:
         self.scene = scene
         self.img_wh = img_wh
         self._render_jit = None
+        self._density_jit = None
+
+    def _density_fn(self):
+        """Cached jitted density probe (compiled once per Evaluator, like
+        the render chunk — re-jitting per call would recompile even at
+        identical shapes)."""
+        if self._density_jit is None:
+            model = self.model
+            self._density_jit = jax.jit(lambda p, x: model.density(p, x))
+        return self._density_jit
 
     # ------------------------------------------------------------- rendering
     def _render_chunk_fn(self):
@@ -160,8 +170,7 @@ class Evaluator:
             tolerance_c=tol_c,
         )  # (L*L*A, 3)
 
-        model = self.model
-        density_fn = jax.jit(lambda p, x: model.density(p, x))
+        density_fn = self._density_fn()
         B = self.cfg.evaluation.batch_size
         out = []
         for i in range(0, pos.shape[0], B):
@@ -488,9 +497,12 @@ class Evaluator:
         depth_img_idxs: Optional[np.ndarray] = None,
         sensors: Optional[Iterable[str]] = None,
         save_dir: Optional[str] = None,
+        plot: bool = False,
     ) -> Dict[str, dict]:
-        """Full evaluation + optional metrics.csv
-        (reference: training/trainer.py:167-224,868-906)."""
+        """Full evaluation + optional metrics.csv and, with ``plot``, the
+        per-image scan-map/NND-histogram plots and the 9-panel NND summary
+        (reference: training/trainer.py:167-224,868-906 +
+        trainer_plot.py:156-394)."""
         ds = self.dataset
         ev = self.cfg.evaluation
         n = ds.n_images
@@ -507,7 +519,7 @@ class Evaluator:
             ]
 
         color = self.evaluate_color(params, occ_bool, color_img_idxs)
-        metrics_dict, _ = self.evaluate_depth(
+        metrics_dict, data_dict = self.evaluate_depth(
             params, occ_bool, depth_img_idxs, sensors
         )
         for key in metrics_dict:
@@ -518,6 +530,32 @@ class Evaluator:
             self.save_metrics_csv(
                 metrics_dict, os.path.join(save_dir, "metrics.csv")
             )
+            if plot:
+                from virus_nerf_tpu.evaluation.plots import (
+                    plot_maps_per_image,
+                    plot_nnd_summary,
+                )
+
+                robot = None
+                if self.img_wh is not None:
+                    pos, orientation = self.get_robot_pose_2d(depth_img_idxs)
+                    robot = {"pos": pos, "orientation": orientation}
+                plot_maps_per_image(
+                    self.scene, data_dict, metrics_dict,
+                    sensors=list(metrics_dict.keys()),
+                    num_points=len(np.asarray(depth_img_idxs)),
+                    res_map=ev.res_map,
+                    height_tolerance=ev.height_tolerance,
+                    save_dir=os.path.join(save_dir, "maps"),
+                    num_plot_pts=int(ev.num_plot_pts),
+                    robot=robot,
+                )
+                plot_nnd_summary(
+                    metrics_dict,
+                    zones=tuple(ev.zones.keys()),
+                    path=os.path.join(save_dir, "metrics.png"),
+                    zone_ranges=ev.zones,
+                )
         return metrics_dict
 
     def export_nerf_pointcloud(

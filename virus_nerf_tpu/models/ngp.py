@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from virus_nerf_tpu.ops.common import trunc_exp
-from virus_nerf_tpu.ops.hash_encoder import HashGridSpec, hash_encode
+from virus_nerf_tpu.ops.hash_encoder import (
+    HashGridSpec,
+    hash_encode,
+    hash_encode_xor,
+)
 from virus_nerf_tpu.ops.sh import sh_encode
 from virus_nerf_tpu.ops.triplane import TriPlaneSpec, triplane_encode
 
@@ -50,6 +54,11 @@ class NGPModel:
 
     scale: float = 0.5
     pos_encoder_type: str = "hash"  # "hash" | "triplane"
+    # "additive": fused-corner hash, 1 widened-row gather per sample-level
+    # (production; ops/hash_encoder.py module doc).  "xor": the reference's
+    # per-corner XOR fast-hash, bit-matching modules/hash_encoder.py:43-62
+    # — 8 gathers per sample-level; used for the quality ablation.
+    hash_variant: str = "additive"
     levels: int = 16
     feature_per_level: int = 2
     log2_T: int = 19
@@ -142,6 +151,8 @@ class NGPModel:
         # autocast backward)
         table = params.pos_table.astype(self._dtype)
         if self.pos_encoder_type == "hash":
+            if self.hash_variant == "xor":
+                return hash_encode_xor(table, x_unit, self.hash_spec)
             return hash_encode(table, x_unit, self.hash_spec)
         return triplane_encode(table, x_unit, self.triplane_spec)
 

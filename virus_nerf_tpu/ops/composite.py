@@ -85,8 +85,10 @@ def composite_stream(
             (clamped to the stream length).
         counts: (N,) int32 number of samples each ray has in the stream.
     Returns:
-        (opacity (N,), depth (N,), rgb (N,3), vr_total ()) — vr_total is
-        the total number of contributing samples ("vr_samples").
+        (opacity (N,), depth (N,), rgb (N,3), vr_total (), w (B,)) —
+        vr_total is the total number of contributing samples
+        ("vr_samples"); w the per-stream-slot compositing weights (the
+        renderer scatters them back only when distortion loss needs them).
     """
     flag = jnp.concatenate(
         [jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]]

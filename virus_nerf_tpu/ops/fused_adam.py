@@ -129,7 +129,12 @@ def fused_adam(
 
         def leaf(g, mu, nu):
             g = g.astype(jnp.float32)
-            if on_tpu and g.size >= min_pallas_size:
+            # Pallas only for big FLAT leaves: a 2-D (rows, F) leaf lives in
+            # XLA's column-major narrow-table layout, and the kernel's
+            # reshape(-1) would force a row-major relayout of g AND the
+            # delta every step; the jnp formulation fuses into one
+            # elementwise pass in the native layout instead.
+            if on_tpu and g.ndim == 1 and g.size >= min_pallas_size:
                 return _adam_leaf_pallas(g, mu, nu, scal, b1, b2, eps)
             return _adam_leaf_jnp(g, mu, nu, scal, b1, b2, eps)
 

@@ -143,9 +143,16 @@ class HashGridSpec:
 
     def init_table(self, key, dtype=jnp.float32):
         """Uniform[0,1) init, matching torch.nn.init.uniform_ defaults
-        (reference: modules/hash_encoder.py:220-227)."""
+        (reference: modules/hash_encoder.py:220-227).
+
+        Shaped (total_rows, feat_dim): keeping the table 2-D end to end
+        (params, Adam state, gradients) lets XLA keep its preferred
+        column-major {0,1:T(2,128)} layout for narrow tables through the
+        whole step — the flat<->2-D reshapes at the encode boundaries
+        measured ~17 ms/step of pure relayout copies (tools/PERF_NOTES.md).
+        """
         return jax.random.uniform(
-            key, (self.total_params,), dtype=jnp.float32
+            key, (self.total_rows, self.feat_dim), dtype=jnp.float32
         ).astype(dtype)
 
 
@@ -204,7 +211,9 @@ def build_wide_slabs(table, spec: HashGridSpec):
     ~7x faster than one global gather of the same rows on TPU.
     """
     F = spec.feat_dim
-    table2d = table.reshape(spec.total_rows, F)
+    # 2-D tables pass through untouched; flat ones (legacy/test callers)
+    # pay the row-major unflatten here
+    table2d = table if table.ndim == 2 else table.reshape(spec.total_rows, F)
     slabs = []
     for lvl in range(spec.levels):
         s = spec.sizes[lvl]
@@ -264,7 +273,9 @@ def hash_encode(table, xyz, spec: HashGridSpec):
     modules/hash_encoder.py:264-277).
 
     Args:
-        table: (total_rows * feat_dim,) flat parameter vector (f32 or bf16).
+        table: (total_rows, feat_dim) parameter table (f32 or bf16); a
+            flat (total_rows * feat_dim,) vector is also accepted (its
+            gradient comes back flat too, at the cost of a relayout).
         xyz: (N, 3) positions in [0, 1].
         spec: static layout.
     Returns:
@@ -279,8 +290,9 @@ def _hash_encode_fwd(table, xyz, spec: HashGridSpec):
     rows, w = hash_base_rows(spec, xyz)
     slabs = build_wide_slabs(table, spec)
     out = _fused_gather_combine(slabs, rows, w, spec)
-    # zero-size carrier for the table dtype (residuals must be arrays)
-    return out, (rows, w, jnp.zeros((0,), table.dtype))
+    # zero-size carrier preserving the table's dtype AND rank (residuals
+    # must be arrays; the bwd shapes its gradient like the input table)
+    return out, (rows, w, table[:0])
 
 
 _HIST_LO = 512  # lane-width bucket of the MXU histogram
@@ -373,8 +385,8 @@ def _fold_wide_t(dt, sy: int, sz: int, s: int):
 
 
 def _hash_encode_bwd(spec: HashGridSpec, res, g):
-    rows, w, dtype_carrier = res  # rows: (L, N); w: (L, 8, N)
-    table_dtype = dtype_carrier.dtype
+    rows, w, table_carrier = res  # rows: (L, N); w: (L, 8, N)
+    table_dtype = table_carrier.dtype
     F = spec.feat_dim
     n = rows.shape[-1]
     g = g.reshape(n, spec.levels, F)  # (N, L, F)
@@ -412,7 +424,131 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
                 )
 
     grad_table = jnp.concatenate(slabs, axis=0)  # (total_rows, F)
-    return (grad_table.reshape(-1).astype(table_dtype), None)
+    if table_carrier.ndim == 1:  # flat-table caller
+        grad_table = grad_table.reshape(-1)
+    return (grad_table.astype(table_dtype), None)
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+# --------------------------------------------------------------------------
+# Reference XOR fast-hash variant
+# --------------------------------------------------------------------------
+# Bit-matches the reference's per-corner indexing
+# (modules/hash_encoder.py:43-62: under_hash below begin_fast_hash_level,
+# ``(x*1 ^ y*2654435761 ^ z*805459861) % size`` above).  The XOR hash has
+# no fixed corner->base offsets, so each corner is its own gather (8 rows
+# per sample-level vs the additive variant's 1 widened row) — kept as a
+# selectable variant for the additive-vs-XOR quality ablation and for
+# bit-parity with the reference, not as the production path.
+
+
+def xor_corner_rows(spec: HashGridSpec, xyz):
+    """Per-corner absolute rows + trilinear weights under the reference
+    hash.
+
+    Returns:
+        rows: (L, 8, N) int32 absolute rows into the flat table.
+        weights: (L, 8, N) f32 (corner bit d selects the +1 step along d).
+    """
+    scales = jnp.asarray(spec.scales, jnp.float32)[:, None, None]
+    sizes = jnp.asarray(spec.sizes, jnp.uint32)[:, None]
+    offsets = jnp.asarray(spec.offsets, jnp.int32)[:, None]
+    res = jnp.asarray(spec.resolutions, jnp.uint32)[:, None]
+    dense = jnp.asarray(
+        [lvl < spec.begin_fast_hash_level for lvl in range(spec.levels)],
+        bool,
+    )[:, None]
+
+    xyzT = xyz.T.astype(jnp.float32)  # (3, N)
+    pos = xyzT[None, :, :] * scales + 0.5  # (L, 3, N)
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pg = pos_grid.astype(jnp.uint32)  # (L, 3, N)
+
+    rows, weights = [], []
+    primes = (jnp.uint32(1), jnp.uint32(_PRIME_Y), jnp.uint32(_PRIME_Z))
+    for c in range(8):
+        sel = [(c >> d) & 1 for d in range(3)]
+        corner = [pg[:, d] + jnp.uint32(sel[d]) for d in range(3)]  # (L, N)
+        under = (
+            corner[0]
+            + corner[1] * res
+            + corner[2] * res * res
+        )
+        fast = (
+            corner[0] * primes[0]
+            ^ corner[1] * primes[1]
+            ^ corner[2] * primes[2]
+        )
+        idx = jnp.where(dense, under, fast) % sizes  # (L, N)
+        rows.append(offsets + idx.astype(jnp.int32))
+        w = jnp.ones_like(frac[:, 0])
+        for d in range(3):
+            w = w * jnp.where(sel[d] == 1, frac[:, d], 1.0 - frac[:, d])
+        weights.append(w)
+    return jnp.stack(rows, axis=1), jnp.stack(weights, axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_xor(table, xyz, spec: HashGridSpec):
+    """Reference-hash encode: 8 per-corner gathers per level
+    (modules/hash_encoder.py:115-141 semantics, batched)."""
+    out, _ = _hash_encode_xor_fwd(table, xyz, spec)
+    return out
+
+
+def _xor_gather_combine(table2d, rows, w, spec: HashGridSpec):
+    F = spec.feat_dim
+    n = rows.shape[-1]
+    outs = []
+    for lvl in range(spec.levels):
+        g = _gather_rows_f32view(
+            table2d, rows[lvl].reshape(-1)
+        ).reshape(8, n, F).astype(jnp.float32)
+        outs.append(jnp.einsum("cnf,cn->nf", g, w[lvl]))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _hash_encode_xor_fwd(table, xyz, spec: HashGridSpec):
+    rows, w = xor_corner_rows(spec, xyz)
+    table2d = (
+        table if table.ndim == 2
+        else table.reshape(spec.total_rows, spec.feat_dim)
+    )
+    out = _xor_gather_combine(table2d, rows, w, spec)
+    return out, (rows, w, table[:0])
+
+
+def _hash_encode_xor_bwd(spec: HashGridSpec, res, g):
+    rows, w, table_carrier = res  # (L, 8, N), (L, 8, N)
+    F = spec.feat_dim
+    n = rows.shape[-1]
+    g = g.reshape(n, spec.levels, F)
+
+    # d out / d T[rows[l,c,n], f] = w[l,c,n] * g[n,l,f]
+    gv = (
+        w[:, :, :, None] * g.transpose(1, 0, 2)[:, None, :, :]
+    ).reshape(spec.levels, 8 * n, F)
+    local = (
+        rows - jnp.asarray(spec.offsets, jnp.int32)[:, None, None]
+    ).reshape(spec.levels, 8 * n)
+
+    groups = {}
+    for lvl in range(spec.levels):
+        groups.setdefault(spec.sizes[lvl], []).append(lvl)
+
+    slabs = [None] * spec.levels
+    for size, lvls in groups.items():
+        idx = jnp.asarray(lvls, jnp.int32)
+        dws = group_segment_sum_t(gv[idx], local[idx], size)  # (G, F, size)
+        for j, lvl in enumerate(lvls):
+            slabs[lvl] = dws[j].T
+    grad_table = jnp.concatenate(slabs, axis=0)
+    if table_carrier.ndim == 1:
+        grad_table = grad_table.reshape(-1)
+    return (grad_table.astype(table_carrier.dtype), None)
+
+
+hash_encode_xor.defvjp(_hash_encode_xor_fwd, _hash_encode_xor_bwd)

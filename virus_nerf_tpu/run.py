@@ -55,8 +55,9 @@ def train_and_evaluate(
         img_wh=test_info.get("img_wh"),
     )
     occ_bool = state.grid.occ_bool
+    do_plot = plot if plot is not None else cfg.evaluation.plot_results
     metrics = evaluator.evaluate(
-        state.params, occ_bool, save_dir=save_dir
+        state.params, occ_bool, save_dir=save_dir, plot=bool(do_plot),
     )
 
     if save_dir:
@@ -64,14 +65,39 @@ def train_and_evaluate(
         trainer.save_checkpoint(state, os.path.join(save_dir, "model.npz"))
         trainer.save_logs(os.path.join(save_dir, "logs.csv"))
         cfg.save_json(os.path.join(save_dir, "hparams.json"))
-        if plot if plot is not None else cfg.evaluation.plot_results:
+        if do_plot:
             from virus_nerf_tpu.evaluation.plots import (
+                plot_occ_grid_slice,
                 plot_training_curves,
             )
 
             plot_training_curves(
                 trainer.logs, os.path.join(save_dir, "curves.png")
             )
+            if hasattr(state.grid, "occ_3d_grid"):
+                gs = cfg.model.grid_size
+                height_c = float(np.mean(np.asarray(train_ds.poses)[:, 2, 3]))
+                h_idx = int(np.clip(
+                    round((height_c + cfg.model.scale)
+                          / (2 * cfg.model.scale) * (gs - 1)), 0, gs - 1,
+                ))
+                gt_slice = scene.get_slice_map(
+                    float(scene.c2w(np.array([[0, 0, height_c]]))[0, 2]),
+                    gs, cfg.evaluation.height_tolerance,
+                    height_in_world_coord=True,
+                )
+                extent = scene.c2w(
+                    np.array([[-cfg.model.scale, -cfg.model.scale],
+                              [cfg.model.scale, cfg.model.scale]])
+                ).T.flatten()
+                plot_occ_grid_slice(
+                    np.asarray(state.grid.occ_3d_grid), gs,
+                    height_idx=h_idx, gt_slice=gt_slice,
+                    path=os.path.join(save_dir, "occgrids", "occgrid.png"),
+                    extent=extent,
+                    bitfield=np.asarray(state.grid.bitfield),
+                    occ_bool=np.asarray(state.grid.occ_bool),
+                )
     return metrics
 
 

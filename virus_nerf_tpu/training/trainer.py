@@ -79,6 +79,7 @@ class Trainer:
         self.model = NGPModel(
             scale=cfg.model.scale,
             pos_encoder_type=cfg.model.encoder_type,
+            hash_variant=cfg.model.hash_variant,
             levels=cfg.model.hash_levels,
             log2_T=cfg.model.hash_log2_T,
             base_res=cfg.model.hash_base_res,

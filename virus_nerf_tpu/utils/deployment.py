@@ -53,7 +53,7 @@ def save_deployment_model(
     payload = {
         "poses": np.asarray(poses),
         "model.density_bitfield": bitfield,
-        "model.hash_encoder.params": np.asarray(params.pos_table),
+        "model.hash_encoder.params": np.asarray(params.pos_table).reshape(-1),
         "model.per_level_scale": model.hash_spec.log_b,
         "model.xyz_encoder.params": xyz_flat,
         "model.rgb_net.params": rgb_flat,
