@@ -33,9 +33,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 # implied reference throughput: 500 steps x 4096 rays / 45 s (BASELINE.md)
 BASELINE_RAYS_PER_SEC = 500 * 4096 / 45.0
 
-CHUNK = 25  # train steps fused into one dispatch: long enough to amortize
-# the ~67 ms tunnel dispatch (<1% at 25 x ~130 ms), short enough to keep
-# XLA compile of the fused program in single-digit minutes
+CHUNK = 24  # train steps fused into one dispatch: long enough to amortize
+# the ~67 ms tunnel dispatch (<1% at 24 x ~110 ms), short enough to keep
+# XLA compile of the fused program in single-digit minutes, and a whole
+# number of grid-update intervals (3 x 8) so the trainer compiles the
+# cond-free grouped chunk body
 
 
 def check_kernels() -> bool:
@@ -73,6 +75,24 @@ def check_kernels() -> bool:
     err = np.max(np.abs(got - want))
     if err > 1e-3:
         print(f"# segment_sum kernel mismatch: {err:.3e}")
+        ok = False
+
+    # non-block-aligned rows (a dense hash level size): internal padding
+    R2, K2 = 9264, 4096
+    sk2 = jnp.sort(
+        jax.random.randint(jax.random.PRNGKey(4), (1, K2), 0, R2, jnp.int32),
+        axis=1,
+    )
+    sv2 = jax.random.normal(jax.random.PRNGKey(5), (1, K2, F), jnp.float32)
+    got2 = np.asarray(
+        jax.jit(_sorted_group_segment_sum_t_tpu, static_argnums=2)(
+            sv2, sk2, R2
+        )
+    )
+    want2 = np.asarray(_windowed_segment_sum_jnp(sv2[0], sk2[0], R2)).T[None]
+    err2 = np.max(np.abs(got2 - want2))
+    if err2 > 1e-3:
+        print(f"# segment_sum padded-rows mismatch: {err2:.3e}")
         ok = False
 
     # fused adam: pallas vs jnp, one big flat leaf

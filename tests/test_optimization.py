@@ -257,5 +257,22 @@ class TestPlots:
         assert len(names) == 3
 
         paths = plot_all(save, score_min=0.0)
+        assert any(p.endswith("pso_results.png") for p in paths)
         for p in paths:
             assert os.path.exists(p) and os.path.getsize(p) > 0
+
+        # 2-D landscape + trajectories (reference:
+        # optimization/plotter_metric.py plot2D) — embed the first two axes,
+        # pinning the third at its search-box midpoint
+        from virus_nerf_tpu.optimization import plot_metric_landscape
+
+        def objective(xy):
+            # embed raw (n, 2) points into the normalized 3-D metric space
+            mid = np.full((len(xy), 1), 0.5)
+            lo = np.array([0.1, 0.1])
+            hi = np.array([400.0, 400.0])
+            pts = np.concatenate([(xy - lo) / (hi - lo), mid], axis=1)
+            return np.array([metric.gauss(p) for p in pts])
+
+        lp = plot_metric_landscape(save, objective, res=24)
+        assert os.path.exists(lp) and os.path.getsize(lp) > 0

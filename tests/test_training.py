@@ -231,3 +231,36 @@ def test_mapping_quality_regression():
     assert nerf["nn_median"]["zone3"] < 0.45, nerf["nn_median"]
     assert nerf["nn_mean"]["zone1"] < 0.45, nerf["nn_mean"]
     assert nerf["nn_mean_inv"]["zone1"] < 0.15, nerf["nn_mean_inv"]
+
+
+def test_grouped_chunk_matches_cond_chunk():
+    """The cond-free grouped chunk body (chunk % interval == 0, aligned
+    entry) must be bit-identical to the general per-step lax.cond body —
+    same update steps, same scan semantics, only the control structure
+    differs."""
+    cfg = _tiny_config("occ")
+    ds, scene, _ = make_synthetic_dataset(n_images=8, img_wh=(32, 24))
+    trainer = Trainer(cfg, ds, scene=scene)
+    state0 = trainer.init_state()
+
+    # chunk of 8 steps = 2 update intervals (interval 4)
+    grouped = trainer._make_train_chunk(8, entry_step_aligned=True)
+    conded = jax.jit(
+        trainer._make_chunk_body(8, entry_step_aligned=False)
+    )
+    ets = jnp.zeros(8, jnp.float32)
+    sg, mg = grouped(state0, ds, ets)
+    sc, mc = conded(state0, ds, ets)
+    assert int(sg.step) == int(sc.step) == 8
+    np.testing.assert_array_equal(
+        np.asarray(mg["loss"]), np.asarray(mc["loss"])
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        sg.params, sc.params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sg.grid.occ_3d_grid), np.asarray(sc.grid.occ_3d_grid)
+    )

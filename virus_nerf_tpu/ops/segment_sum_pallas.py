@@ -40,54 +40,95 @@ import jax.numpy as jnp
 
 _B = 2048  # output rows per grid step
 _W = 1024  # stream samples per DMA chunk
+_SUB = 256  # compute sub-block within a chunk
+_NSUB = _W // _SUB
 
 
-def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem, sem,
-              *, F: int, Kp: int):
+def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
+              acc_ref, sems, *, F: int, Kp: int):
+    """Double-buffered DMA pipeline + sub-block-skipped MXU compute.
+
+    DMA granularity stays at the aligned _W-sample chunk (Mosaic dynamic
+    slices must be tile-aligned; rounding the window start down is safe —
+    leading samples belong to earlier blocks and match no one-hot row).
+    Compute runs per _SUB-sample sub-block and SKIPS sub-blocks outside the
+    block's [start, end) key range: the average block has ~K*B/R samples,
+    so most of a full chunk would be one-hot/matmul padding (measured 19.3
+    -> 13.5 ms for the 10-level bench group with skip + double buffering).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = pl.program_id(0)
     b = pl.program_id(1)
-    # round the window start down to the DMA chunk (Mosaic requires provably
-    # aligned dynamic slices); the extra leading samples have keys from
-    # earlier blocks and match no one-hot row, so they are harmless
-    p0 = (starts_ref[g, b] // _W) * _W
+    p0 = starts_ref[g, b]
     p1 = starts_ref[g, b + 1]
-    n_chunks = (p1 - p0 + _W - 1) // _W
+    c0 = (p0 // _W) * _W
+    n_chunks = (p1 - c0 + _W - 1) // _W
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    def body(c, acc):
-        off = pl.multiple_of(p0 + c * _W, _W)
+    def copies(c, slot):
+        off = pl.multiple_of(c0 + c * _W, _W)
         # keys live in ONE flat vector: a (G, K) int32 array cannot be
         # sliced to a single row (sublane tile is 8)
         koff = pl.multiple_of(g * Kp + off, _W)
-        cp_k = pltpu.make_async_copy(sk_hbm.at[pl.ds(koff, _W)], sk_vmem, sem)
-        cp_k.start()
-        cp_k.wait()
-        cp_v = pltpu.make_async_copy(
-            sv_hbm.at[g, pl.ds(off, _W)], sv_vmem, sem
+        return (
+            pltpu.make_async_copy(
+                sk_hbm.at[pl.ds(koff, _W)],
+                sk_vmem.at[pl.ds(slot * _W, _W)],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                sv_hbm.at[g, pl.ds(off, _W)], sv_vmem.at[slot],
+                sems.at[slot, 1],
+            ),
         )
-        cp_v.start()
-        cp_v.wait()
-        local = sk_vmem[:] - b * _B  # (W,)
-        # rows outside [0, B) (padded tail / other blocks) match nothing
-        A = (
-            jax.lax.broadcasted_iota(jnp.int32, (_B, _W), 0)
-            == local[None, :]
-        ).astype(jnp.bfloat16)
-        # contract the W axis of both operands: (W,128)^T x (W,B)^T on the
-        # MXU, result (128, B) — the table axis lands in LANES
-        prod = jax.lax.dot_general(
-            sv_vmem[:], A, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # hi + lo halves recombine in-register: the output stays F-wide
-        return acc + prod[:F, :] + prod[F:2 * F, :]
 
-    acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((F, _B), jnp.float32)
-    )
-    out_ref[0] = acc
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in copies(c + 1, 1 - slot):
+                cp.start()
+
+        for cp in copies(c, slot):
+            cp.wait()
+        off = pl.multiple_of(c0 + c * _W, _W)
+        sk_view = sk_vmem.at[pl.ds(slot * _W, _W)]
+        sv_view = sv_vmem.at[slot]
+        for sub in range(_NSUB):
+            lo = off + sub * _SUB
+
+            @pl.when((lo + _SUB > p0) & (lo < p1))
+            def _():
+                local = sk_view[pl.ds(sub * _SUB, _SUB)] - b * _B
+                # rows outside [0, B) (padded tail / other blocks) match
+                # nothing
+                A = (
+                    jax.lax.broadcasted_iota(jnp.int32, (_B, _SUB), 0)
+                    == local[None, :]
+                ).astype(jnp.bfloat16)
+                # contract the sample axis of both operands:
+                # (SUB,128)^T x (SUB,B) on the MXU, result (128, B) — the
+                # table axis lands in LANES
+                prod = jax.lax.dot_general(
+                    sv_view[pl.ds(sub * _SUB, _SUB), :], A,
+                    (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # hi + lo halves recombine in-register: output stays F-wide
+                acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0] = acc_ref[:]
 
 
 def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
@@ -95,8 +136,18 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     from jax.experimental.pallas import tpu as pltpu
 
     G, K, F = sv.shape
-    # bf16 hi/lo split: exact 0/1 one-hot x (hi + lo) in f32 accumulation
-    hi = sv.astype(jnp.bfloat16)
+    # pad the output rows to whole _B-blocks: sentinel keys (== n_rows) land
+    # in a padding block but carry zero values, so the extra rows sum to
+    # zero and are sliced off below.  This admits the DENSE hash levels
+    # (8-aligned res^3 sizes, reference modules/hash_encoder.py:183-207),
+    # not just the 2^19 hashed group.
+    n_pad = ((n_rows + _B - 1) // _B) * _B
+    # bf16 hi/lo split: exact 0/1 one-hot x (hi + lo) in f32 accumulation.
+    # The barrier is load-bearing: under jit, XLA's excess-precision rule
+    # keeps the f32->bf16 rounding of `hi` in f32 registers, so the
+    # residual `sv - hi` folds to zero and the lo half silently vanishes
+    # (caught by bench.py's on-TPU kernel CI, 2.1e-2 vs oracle).
+    hi = jax.lax.optimization_barrier(sv.astype(jnp.bfloat16))
     lo = (sv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     svp = jnp.concatenate([hi, lo], axis=2)  # (G, K, 2F) bf16
     # pad the stream to a whole number of DMA chunks with at least one
@@ -109,7 +160,7 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
         sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
     ).reshape(-1)
 
-    n_blocks = n_rows // _B
+    n_blocks = n_pad // _B
     block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * _B
     starts = jax.vmap(lambda k: jnp.searchsorted(k, block_edges))(sk)
 
@@ -125,16 +176,18 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
             memory_space=pltpu.MemorySpace.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((_W,), jnp.int32),
-            pltpu.VMEM((_W, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2 * _W,), jnp.int32),
+            pltpu.VMEM((2, _W, 128), jnp.bfloat16),
+            pltpu.VMEM((F, _B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_t_kernel, F=F, Kp=Kp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, F, n_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, F, n_pad), jnp.float32),
     )(starts.astype(jnp.int32), skp, svp)
+    return out[:, :, :n_rows] if n_pad != n_rows else out
 
 
 def _windowed_segment_sum_jnp(sv, sk, n_rows: int):
@@ -151,9 +204,9 @@ def _windowed_segment_sum_jnp(sv, sk, n_rows: int):
 
 
 def kernel_applicable(n_rows: int, F: int) -> bool:
-    """Pallas-path eligibility: whole output blocks, and the hi/lo split
-    must fit the 128-lane tile."""
-    return n_rows % _B == 0 and 2 * F <= 128
+    """Pallas-path eligibility: the hi/lo split must fit the 128-lane tile
+    (arbitrary n_rows is handled by internal block padding)."""
+    return 2 * F <= 128
 
 
 def group_segment_sum_t(vals, keys, n_rows: int):

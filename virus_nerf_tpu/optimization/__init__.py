@@ -19,6 +19,8 @@ from virus_nerf_tpu.optimization.plots import (  # noqa: F401
     plot_convergence,
     plot_hparam_scores,
     plot_hparam_trajectories,
+    plot_metric_landscape,
+    plot_pso_results,
 )
 from virus_nerf_tpu.optimization.runner import (  # noqa: F401
     apply_hparams,

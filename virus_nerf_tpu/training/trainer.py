@@ -397,7 +397,8 @@ class Trainer:
 
         return ngp_update
 
-    def _make_train_chunk(self, chunk_steps: int):
+    def _make_train_chunk(self, chunk_steps: int,
+                          entry_step_aligned: bool = True):
         """Fuse ``chunk_steps`` train steps (with the occupancy-grid update
         folded in as a ``lax.cond`` on ``step % update_interval``, per the
         plan in SURVEY.md §7) into ONE jitted dispatch via ``lax.scan``.
@@ -409,10 +410,14 @@ class Trainer:
         per-buffer HTTP latency.  Only the "occ" grid fits (the NGP grid's
         warmup changes shapes; it stays on the per-step path).
         """
-        return jax.jit(self._make_chunk_body(chunk_steps))
+        return jax.jit(
+            self._make_chunk_body(chunk_steps,
+                                  entry_step_aligned=entry_step_aligned)
+        )
 
     def _make_chunk_body(self, chunk_steps: int,
-                         axis_name: Optional[str] = None, n_shards: int = 1):
+                         axis_name: Optional[str] = None, n_shards: int = 1,
+                         entry_step_aligned: bool = True):
         """Unjitted chunk body (scan of cond-grid-update + train step) —
         jitted directly for single-chip, or wrapped in shard_map over the
         data-parallel mesh (parallel/data_parallel.py), so the multi-chip
@@ -420,6 +425,18 @@ class Trainer:
         train_body = self._make_train_body(axis_name, n_shards)
         occ_body = self._make_occ_body(axis_name, n_shards)
         interval = self.grid_update_interval
+        # When the chunk is a whole number of update intervals AND the host
+        # loop keeps chunk entry steps interval-aligned (it does: training
+        # starts at step 0 and advances by chunk_steps per dispatch), every
+        # grid-update position is known at trace time — scan over
+        # interval-sized groups with the update hoisted to the group head.
+        # This removes the per-step lax.cond, whose untaken branch forces
+        # XLA to thread (copy) the multi-megabyte grid state through every
+        # step (measured ~11 ms/step for the march/grid cond pair,
+        # tools/PERF_NOTES.md).  Callers resuming from a state whose step is
+        # NOT a multiple of the interval must pass
+        # ``entry_step_aligned=False`` to keep the general cond path.
+        aligned = entry_step_aligned and chunk_steps % interval == 0
 
         def train_chunk(state: TrainState, dataset: DeviceDataset, elapse_time):
             # a scalar elapse_time is frozen for the whole chunk; the host
@@ -429,6 +446,23 @@ class Trainer:
             ets = jnp.broadcast_to(
                 jnp.asarray(elapse_time, jnp.float32), (chunk_steps,)
             )
+
+            if aligned:
+                def group(state, ets_group):
+                    state = occ_body(state, dataset, ets_group[0])
+                    return jax.lax.scan(
+                        lambda s, et: train_body(s, dataset, et),
+                        state, ets_group,
+                    )
+
+                state, metrics = jax.lax.scan(
+                    group, state, ets.reshape(-1, interval)
+                )
+                metrics = jax.tree.map(
+                    lambda x: x.reshape((chunk_steps,) + x.shape[2:]),
+                    metrics,
+                )
+                return state, metrics
 
             def body(state, et):
                 state = jax.lax.cond(
@@ -483,8 +517,17 @@ class Trainer:
         cfg = self.cfg
         chunk = max(1, min(cfg.evaluation.eval_every_n_steps,
                            cfg.training.max_steps))
+        # round the chunk DOWN to a whole number of grid-update intervals
+        # when possible: the cond-free grouped chunk body needs it (and the
+        # host loop then keeps every chunk entry step aligned)
+        interval = self.grid_update_interval
+        entry_aligned = int(state.step) % interval == 0
+        if entry_aligned and chunk >= interval:
+            chunk -= chunk % interval
         train_chunk = self._get(
-            f"train_chunk_{chunk}", partial(self._make_train_chunk, chunk)
+            f"train_chunk_{chunk}_{entry_aligned}",
+            partial(self._make_train_chunk, chunk,
+                    entry_step_aligned=entry_aligned),
         )
         step = 0
         profiled = False
