@@ -25,6 +25,9 @@ def main():
     p.add_argument("--hash-variant", default="additive",
                    choices=["additive", "xor"],
                    help="additive-vs-XOR quality ablation knob")
+    p.add_argument("--samples-per-ray", type=int, default=32,
+                   help="compaction budget / ray (subsampling ablation: "
+                        "32 vs 64 vs 128=exact)")
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args()
 
@@ -50,7 +53,7 @@ def main():
     cfg.training.batch_size = 4096
     cfg.training.max_samples_per_ray = 128
     cfg.training.march_candidates = 1024
-    cfg.training.sample_budget = 4096 * 32
+    cfg.training.sample_budget = 4096 * args.samples_per_ray
     cfg.training.max_steps = args.steps
     cfg.training.max_time = 1e9
     cfg.training.sampling_strategy = {
@@ -99,6 +102,7 @@ def main():
 
     out = {
         "hash_variant": args.hash_variant,
+        "samples_per_ray": args.samples_per_ray,
         "seed": args.seed,
         "steps": steps,
         "train_seconds": round(train_s, 1),

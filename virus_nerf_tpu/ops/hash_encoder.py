@@ -15,7 +15,12 @@ corner — for dense levels this is bit-exact with the reference's
 ``under_hash`` (Cy=res, Cz=res^2 including its boundary wrap-around), for
 hashed levels it is a different but statistically equivalent hash (additive
 lattice hashing; collision structure is a sheared lattice instead of the
-XOR folding — both are translation-structured).
+XOR folding — both are translation-structured).  Measured (BASELINE.md
+quality table, 2000-step convergence on the same seed vs the
+``hash_encode_xor`` reference-parity variant below): converged mapping
+quality is equivalent (mean NND z3 0.200 vs 0.193 m, identical median /
+inlier / PSNR / SSIM) while the additive forward trains ~4-6x faster
+(1 gather per sample-level instead of 8).
 
 Why: on TPU the encoder's cost is gather-bound, and XLA's gather cost is
 per-ROW, not per-byte (measured ~5-9 ns/row in the scan-fused train step

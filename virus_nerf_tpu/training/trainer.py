@@ -524,17 +524,25 @@ class Trainer:
         entry_aligned = int(state.step) % interval == 0
         if entry_aligned and chunk >= interval:
             chunk -= chunk % interval
-        train_chunk = self._get(
-            f"train_chunk_{chunk}_{entry_aligned}",
-            partial(self._make_train_chunk, chunk,
-                    entry_step_aligned=entry_aligned),
-        )
+        def get_chunk(n):
+            return self._get(
+                f"train_chunk_{n}_{entry_aligned}",
+                partial(self._make_train_chunk, n,
+                        entry_step_aligned=entry_aligned),
+            )
+
         step = 0
         profiled = False
         dt_est = 0.0  # measured per-step duration for real_time_simulation
         while step < cfg.training.max_steps:
+            # a shorter tail chunk lands exactly on max_steps (the rounded
+            # main chunk need not divide it); full-chunk entry alignment is
+            # preserved because the tail only ever runs last
+            this_chunk = min(chunk, cfg.training.max_steps - step)
+            train_chunk = get_chunk(this_chunk)
             ets = jnp.asarray(
-                time.time() - tic + dt_est * np.arange(chunk), jnp.float32
+                time.time() - tic + dt_est * np.arange(this_chunk),
+                jnp.float32,
             )
             if cfg.training.profile_dir and not profiled and step > 0:
                 # profile the second chunk (first is compile + warmup)
@@ -544,16 +552,16 @@ class Trainer:
                     )
                     jax.block_until_ready(state.params)
                 profiled = True
-                step += chunk
+                step += this_chunk
                 continue
             chunk_tic = time.time()
             state, metrics = train_chunk(state, self.train_dataset, ets)
             m = {k: np.asarray(v) for k, v in metrics.items()}  # (chunk,)
             if step > 0:  # first chunk's wall time is dominated by compile
-                dt_est = max(time.time() - chunk_tic, 0.0) / chunk
+                dt_est = max(time.time() - chunk_tic, 0.0) / this_chunk
             mnn = self._intermediate_eval(state, time.time() - tic)
             self._log_chunk(step, m, tic, mnn)
-            step += chunk
+            step += this_chunk
             if cfg.training.debug_mode:
                 self._debug_check_state(
                     state, {k: float(v[-1]) for k, v in m.items()}, step
