@@ -111,16 +111,23 @@ def make_dp_occ_update(trainer: Trainer, mesh: Mesh, axis: str = "data"):
 
 
 def make_dp_train_chunk(
-    trainer: Trainer, mesh: Mesh, chunk_steps: int, axis: str = "data"
+    trainer: Trainer, mesh: Mesh, chunk_steps: int, axis: str = "data",
+    entry_step_aligned: bool = True,
 ):
     """The full data-parallel training chunk: ``chunk_steps`` scan-fused
-    train steps with the occupancy-grid update folded in as ``lax.cond``
-    every ``update_interval`` steps — the multi-chip twin of
+    train steps with the occupancy-grid update folded in every
+    ``update_interval`` steps — the multi-chip twin of
     ``Trainer._make_train_chunk`` (one device program per dispatch, grid
-    and uss_stats updates INCLUDED, state replicated across the mesh)."""
+    and uss_stats updates INCLUDED, state replicated across the mesh).
+
+    When ``chunk_steps`` is a whole number of update intervals the body
+    compiles the cond-free grouped scan (see ``Trainer._make_chunk_body``);
+    pass ``entry_step_aligned=False`` when resuming from a state whose step
+    is not a multiple of the interval."""
     n_dev = mesh.shape[axis]
     body = trainer._make_chunk_body(chunk_steps, axis_name=axis,
-                                    n_shards=n_dev)
+                                    n_shards=n_dev,
+                                    entry_step_aligned=entry_step_aligned)
     mapped = _shard_map(
         body, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
     )
