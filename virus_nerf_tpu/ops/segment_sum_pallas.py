@@ -40,7 +40,10 @@ import jax.numpy as jnp
 
 _B = 2048  # output rows per grid step
 _W = 1024  # stream samples per DMA chunk
-_SUB = 256  # compute sub-block within a chunk
+_SUB = 128  # compute sub-block within a chunk (swept on v5e: (B, SUB) of
+# (2048,128) 13.4 ms < (2048,256) 14.4 < (4096,128) 15.3 < (4096,256) 15.4
+# for the 10-level bench group — finer skip granularity wins, bigger output
+# blocks lose to the per-block DMA-chunk minimum)
 _NSUB = _W // _SUB
 
 
