@@ -49,6 +49,7 @@ import numpy as np
 
 from virus_nerf_tpu.ops.segment_sum_pallas import (
     group_segment_sum_t,
+    group_segment_sum_t_sorted,
     kernel_applicable,
 )
 
@@ -402,12 +403,19 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     ).reshape(spec.levels, n, 8 * F)
     local = rows - jnp.asarray(spec.offsets, jnp.int32)[:, None]  # (L, N)
 
-    # group levels by table size so each group reduces as ONE batched op
+    # group levels by table size so each group reduces as ONE batched op;
+    # the key sort batches across ALL levels regardless of size (sorting is
+    # per-row independent) — one (L, N) sort instead of one per group
     groups = {}
     for lvl in range(spec.levels):
         groups.setdefault(spec.sizes[lvl], []).append(lvl)
 
     use_kernel = jax.default_backend() == "tpu"
+    pi = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32), (spec.levels, n)
+    )
+    sk_all, sp_all = jax.lax.sort([local, pi], dimension=1, num_keys=1)
+
     slabs = [None] * spec.levels  # per-level folded (s, F) grads
     for size, lvls in groups.items():
         idx = jnp.asarray(lvls, jnp.int32)
@@ -415,7 +423,10 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
             # windowed MXU segment-sum kernel, transposed layout end to end
             # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
             # lane-roll fold, one small final transpose per level
-            dwt = group_segment_sum_t(gv[idx], local[idx], size)
+            sv = jnp.stack(
+                [jnp.take(gv[lvl], sp_all[lvl], axis=0) for lvl in lvls]
+            )
+            dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
             for j, lvl in enumerate(lvls):
                 ft = _fold_wide_t(
                     dwt[j], spec.stride_y[lvl], spec.stride_z[lvl], size

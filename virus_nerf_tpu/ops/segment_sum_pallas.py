@@ -212,6 +212,29 @@ def kernel_applicable(n_rows: int, F: int) -> bool:
     return 2 * F <= 128
 
 
+def group_segment_sum_t_sorted(sv, sk, n_rows: int):
+    """`group_segment_sum_t` on an ALREADY key-sorted stream.
+
+    Callers with several same-shape groups (the hash backward's
+    by-table-size level groups) batch ONE ``lax.sort`` across all levels
+    and slice the sorted keys per group — per-group sorts measured
+    ~0.8 ms each on v5e while one (16, 131072) sort costs ~2.5 ms total.
+
+    Args:
+        sv: (G, K, F) f32 values, each level sorted by its key.
+        sk: (G, K) int32 sorted row ids in [0, n_rows).
+    Returns:
+        (G, F, n_rows) f32 sums — table axis in lanes (see module doc).
+    """
+    G, K, F = sv.shape
+    if jax.default_backend() == "tpu" and kernel_applicable(n_rows, F):
+        return _sorted_group_segment_sum_t_tpu(sv, sk, n_rows)
+    out = jnp.stack(
+        [_windowed_segment_sum_jnp(sv[g], sk[g], n_rows) for g in range(G)]
+    )  # (G, n_rows, F)
+    return out.transpose(0, 2, 1)
+
+
 def group_segment_sum_t(vals, keys, n_rows: int):
     """Dense per-row sums for a group of same-size levels, TRANSPOSED.
 
@@ -230,12 +253,7 @@ def group_segment_sum_t(vals, keys, n_rows: int):
     pi = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (G, K))
     sk, sp = jax.lax.sort([keys, pi], dimension=1, num_keys=1)
     sv = jnp.stack([jnp.take(vals[g], sp[g], axis=0) for g in range(G)])
-    if jax.default_backend() == "tpu" and kernel_applicable(n_rows, F):
-        return _sorted_group_segment_sum_t_tpu(sv, sk, n_rows)
-    out = jnp.stack(
-        [_windowed_segment_sum_jnp(sv[g], sk[g], n_rows) for g in range(G)]
-    )  # (G, n_rows, F)
-    return out.transpose(0, 2, 1)
+    return group_segment_sum_t_sorted(sv, sk, n_rows)
 
 
 def windowed_segment_sum(sv, sk, n_rows: int):
