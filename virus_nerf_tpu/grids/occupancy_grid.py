@@ -267,8 +267,26 @@ def occ_grid_apply_delta(
     return OccGridState(
         occ_3d_grid=grid,
         occ_bool=flat > hp.threshold,
-        bitfield=bitfield_from_grid(flat, hp.threshold, hp.grid_size),
+        # the packed Morton bitfield is NOT rebuilt in the hot loop: the
+        # TPU march reads ``occ_bool`` directly, and the cartesian->Morton
+        # permute is a 2M-row gather (~15 ms/update measured on v5e).  It
+        # is refreshed lazily (``occ_grid_refresh_bitfield``) at export /
+        # plot / deployment time — the only consumers of Morton packing.
+        bitfield=state.bitfield,
         update_step=update_step,
+    )
+
+
+def occ_grid_refresh_bitfield(
+    state: OccGridState, hp: OccGridHParams
+) -> OccGridState:
+    """Recompute the packed Morton bitfield from the probability grid
+    (reference: modules/occupancy_grid.py:100-105).  Call before reading
+    ``state.bitfield`` — the hot loop leaves it stale (see
+    ``occ_grid_apply_delta``)."""
+    flat = state.occ_3d_grid.reshape(1, -1)
+    return state._replace(
+        bitfield=bitfield_from_grid(flat, hp.threshold, hp.grid_size)
     )
 
 

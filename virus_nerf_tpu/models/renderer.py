@@ -101,9 +101,26 @@ def render_rays(
         # counter) are dropped.  TPU analogue of the reference's atomic
         # sample compaction (modules/ray_march.py:77-82), static shapes.
         flat_valid = march.valid.reshape(-1)
-        order = jnp.argsort(~flat_valid, stable=True)
+        n_flat = flat_valid.shape[0]
+        # one stable valid-first sort carrying the source index AND the
+        # deltas as payloads (deltas must be fetched, not reconstructed:
+        # overflowing rays carry subsample represented-count scaling even
+        # on the constant-dt lattice, ops/ray_march._rank_select; riding
+        # the sort replaces a ~2.8 ms 131k-row flat gather)
+        iota = jnp.arange(n_flat, dtype=jnp.int32)
+        _, order, dt_all = jax.lax.sort(
+            [(~flat_valid).astype(jnp.int32), iota,
+             march.deltas.reshape(-1)],
+            dimension=0, num_keys=1, is_stable=True,
+        )
         sel = order[:sample_budget]
-        sel_valid = flat_valid[sel]
+        dt_c = dt_all[:sample_budget]
+        # valid-first ordering: the first sum(valid) stream slots are the
+        # valid ones — no per-slot gather of the validity mask needed
+        sel_valid = (
+            jnp.arange(sample_budget, dtype=jnp.int32)
+            < jnp.sum(flat_valid, dtype=jnp.int32)
+        )
         pts = march.xyzs.reshape(-1, 3)[sel]
         ray_id = (sel // max_samples).astype(jnp.int32)
         # per-ray tables: gathers over (n_rays, 3) hit few distinct rows
@@ -114,10 +131,6 @@ def render_rays(
         # reconstruct t from the gathered position (exact to f32 rounding;
         # avoids another 4-byte gather over the flat layout)
         ts_c = jnp.sum((pts - rays_o[ray_id]) * drs, axis=1)
-        # deltas must be fetched, not reconstructed: overflowing rays carry
-        # subsample represented-count scaling even on the constant-dt
-        # lattice (ops/ray_march._select)
-        dt_c = march.deltas.reshape(-1)[sel]
 
         slots = jnp.minimum(march.n_samples, max_samples)  # valid slots/ray
         starts = jnp.cumsum(slots) - slots  # (N,)

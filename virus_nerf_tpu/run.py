@@ -75,6 +75,16 @@ def train_and_evaluate(
                 trainer.logs, os.path.join(save_dir, "curves.png")
             )
             if hasattr(state.grid, "occ_3d_grid"):
+                from virus_nerf_tpu.grids.occupancy_grid import (
+                    occ_grid_refresh_bitfield,
+                )
+
+                # the hot loop leaves the Morton bitfield stale; refresh
+                # before plotting its round-trip check
+                grid = occ_grid_refresh_bitfield(
+                    state.grid, trainer.occ_hp
+                )
+                state = state._replace(grid=grid)
                 gs = cfg.model.grid_size
                 height_c = float(np.mean(np.asarray(train_ds.poses)[:, 2, 3]))
                 h_idx = int(np.clip(
