@@ -29,6 +29,10 @@ regardless of 8-64 B width).  The additive hash lets one row of a derived
 level slab, rebuilt per step for ~1 ms of bandwidth) serve a full trilerp:
 ONE gathered row per (sample, level) instead of eight — an 8x reduction of
 the dominant cost.  The backward sorts 8x fewer keys for the same reason.
+Large slabs are additionally gathered through a PACKED bf16 view — eight
+widened rows per 128-lane row, so the gather takes the fast contiguous
+row-major form instead of 8F scattered col-major fetches
+(``_gather_rows_packed_bf16``; 45.2k -> 60.3k rays/s on the bench).
 
 Forward is a single batched gather + einsum; backward (`jax.custom_vjp`,
 table-gradient only, like the reference where Taichi autodiff produces only
@@ -238,6 +242,49 @@ def build_wide_slabs(table, spec: HashGridSpec):
     return slabs
 
 
+_PACK_MIN_ROWS = 1 << 17  # pack only big slabs: small ones gather fast
+# (VMEM promotion + index locality); the packed path pays a relayout
+
+
+def _gather_rows_packed_bf16(slab, rows_local):
+    """Packed-row bf16 gather for large widened slabs.
+
+    XLA lays the roll-built (s, 8F) slab out column-major (table axis in
+    lanes), so a row gather issues 8F scattered fetches (~25-35 ns/row
+    measured on v5e).  Packing P = 128/(8F) consecutive rows into one
+    128-lane bf16 row yields a naturally ROW-major (s/P, 128) array whose
+    256-byte rows gather in the fast contiguous form (~8.7 ns/row); the
+    wanted row is then selected with a one-hot einsum.  Measured 27%
+    faster than the col-major f32 gather per level in the HBM regime
+    (tools/PERF_NOTES.md e9) — at the cost of bf16-rounded features
+    (precedent: the reference's fp16 encoder variant,
+    modules/hash_encoder_half.py; converged-quality parity validated in
+    BASELINE.md).
+    """
+    s, wdt = slab.shape
+    P = 128 // wdt
+    n = rows_local.shape[0]
+    packed = slab.astype(jnp.bfloat16).reshape(s // P, P * wdt)
+    q = rows_local // P
+    j = rows_local % P
+    gp = jnp.take(packed, q, axis=0, mode="clip")  # (N, 128)
+    sel = (
+        j[:, None] == jnp.arange(P, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)  # (N, P)
+    return jnp.einsum("nj,njf->nf", sel, gp.reshape(n, P, wdt))
+
+
+def _packable(slab, size: int, F: int) -> bool:
+    wdt = 8 * F
+    return (
+        slab.dtype == jnp.float32
+        and wdt <= 64
+        and 128 % wdt == 0
+        and size % (128 // wdt) == 0
+        and size >= _PACK_MIN_ROWS
+    )
+
+
 def _gather_rows_f32view(slab, rows_local):
     """Gather rows of a widened slab through an f32 view.
 
@@ -264,7 +311,10 @@ def _fused_gather_combine(slabs, rows, w, spec: HashGridSpec):
     outs = []
     for lvl in range(spec.levels):
         local = rows[lvl] - spec.offsets[lvl]
-        g = _gather_rows_f32view(slabs[lvl], local)  # (N, 8F)
+        if _packable(slabs[lvl], spec.sizes[lvl], F):
+            g = _gather_rows_packed_bf16(slabs[lvl], local)  # (N, 8F) bf16
+        else:
+            g = _gather_rows_f32view(slabs[lvl], local)  # (N, 8F)
         g = g.reshape(n, 8, F).astype(jnp.float32)
         outs.append(jnp.einsum("ncf,cn->nf", g, w[lvl]))
     return jnp.concatenate(outs, axis=1)  # (N, L*F)
