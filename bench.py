@@ -95,6 +95,31 @@ def check_kernels() -> bool:
         print(f"# segment_sum padded-rows mismatch: {err2:.3e}")
         ok = False
 
+    # packed bf16 forward gather vs the plain row gather on a big slab
+    # (the packed path engages only for slabs >= 2^17 rows, which CPU
+    # tests never build)
+    from virus_nerf_tpu.ops.hash_encoder import (
+        _gather_rows_packed_bf16,
+        _packable,
+    )
+
+    s_rows = 1 << 17
+    slab = jax.random.normal(
+        jax.random.PRNGKey(6), (s_rows, 16), jnp.float32
+    )
+    rl = jax.random.randint(
+        jax.random.PRNGKey(7), (4096,), 0, s_rows, jnp.int32
+    )
+    assert _packable(slab, s_rows, 2)
+    got_p = np.asarray(
+        jax.jit(_gather_rows_packed_bf16)(slab, rl).astype(jnp.float32)
+    )
+    want_p = np.asarray(jnp.take(slab, rl, axis=0).astype(jnp.bfloat16))
+    err_p = np.max(np.abs(got_p - want_p))
+    if err_p > 0:
+        print(f"# packed gather mismatch: {err_p:.3e}")
+        ok = False
+
     # fused adam: pallas vs jnp, one big flat leaf
     n = 1 << 21
     g = jax.random.normal(key, (n,), jnp.float32)

@@ -62,6 +62,39 @@ def test_small_budget_overflows_but_finite():
     assert np.all(np.isfinite(np.asarray(out["rgb"])))
 
 
+def test_overflow_subsamples_every_ray():
+    """Over-budget streams must proportionally subsample EVERY ray (delta-
+    scaled stride selection), not silently drop tail-of-batch rays: each
+    ray with any valid march sample still composites nonzero opacity
+    (trunc-exp density is strictly positive), and its depth stays close to
+    the dense render's because the scaled deltas preserve per-ray optical
+    depth."""
+    model, params, occ, rays_o, rays_d = _setup()
+    key = jax.random.PRNGKey(1)
+    kwargs = dict(
+        exp_step_factor=0.0, max_samples=32, n_candidates=256, jitter=False
+    )
+    dense = render_rays(model, params, occ, rays_o, rays_d, key, **kwargs)
+    # budget of ~half the valid samples of this scene
+    comp = render_rays(
+        model, params, occ, rays_o, rays_d, key,
+        sample_budget=512, **kwargs
+    )
+    assert int(comp["overflow"]) > 0
+    d_op = np.asarray(dense["opacity"])
+    c_op = np.asarray(comp["opacity"])
+    has = d_op > 1e-6
+    assert has.sum() > 16  # the fixture renders most rays
+    # the last rays of the batch are supervised too (the truncation-drop
+    # failure mode zeroed exactly these)
+    assert np.all(c_op[has] > 0.0), (
+        f"unsupervised rays at {np.where(has & (c_op == 0))[0]}"
+    )
+    # represented-count delta scaling keeps accumulated optical depth in
+    # the same regime: opacities correlate strongly with the dense render
+    assert np.corrcoef(c_op[has], d_op[has])[0, 1] > 0.9
+
+
 def test_gradients_flow_through_compaction():
     model, params, occ, rays_o, rays_d = _setup()
     key = jax.random.PRNGKey(1)

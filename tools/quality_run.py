@@ -28,6 +28,9 @@ def main():
     p.add_argument("--samples-per-ray", type=int, default=32,
                    help="compaction budget / ray (subsampling ablation: "
                         "32 vs 64 vs 128=exact)")
+    p.add_argument("--max-samples", type=int, default=128,
+                   help="march per-ray cap S (speed/quality ablation: "
+                        "64 halves the heavy-tail rays' sample count)")
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args()
 
@@ -51,7 +54,7 @@ def main():
     cfg.model.hash_log2_T = 19
     cfg.model.hash_max_res = 1024
     cfg.training.batch_size = 4096
-    cfg.training.max_samples_per_ray = 128
+    cfg.training.max_samples_per_ray = args.max_samples
     cfg.training.march_candidates = 1024
     cfg.training.sample_budget = 4096 * args.samples_per_ray
     cfg.training.max_steps = args.steps
@@ -103,6 +106,7 @@ def main():
     out = {
         "hash_variant": args.hash_variant,
         "samples_per_ray": args.samples_per_ray,
+        "max_samples": args.max_samples,
         "seed": args.seed,
         "steps": steps,
         "train_seconds": round(train_s, 1),

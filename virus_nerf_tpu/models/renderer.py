@@ -97,10 +97,44 @@ def render_rays(
         # into a static ``sample_budget``-sized stream, run the model only
         # on those, and composite DIRECTLY on the stream via segmented
         # prefix sums — no scatter-back of sigma/rgb (TPU scatter costs
-        # ~49 ns/row, ~5x a gather).  Overflowing samples (see 'overflow'
-        # counter) are dropped.  TPU analogue of the reference's atomic
+        # ~49 ns/row, ~5x a gather).  TPU analogue of the reference's atomic
         # sample compaction (modules/ray_march.py:77-82), static shapes.
-        flat_valid = march.valid.reshape(-1)
+        #
+        # When the batch's valid samples exceed the budget, every ray is
+        # proportionally stride-subsampled (per-ray target k_i =
+        # slots_i*B/total, deltas scaled by represented count — the same
+        # closed-form rank selection the march uses for its per-ray cap,
+        # ops/ray_march._rank_select) INSTEAD of letting the stream
+        # truncation drop whole tail-of-batch rays: truncation would leave
+        # the last ~overflow/avg rays of the batch unsupervised, a silent
+        # effective-batch-size cut.  At the steady state of the headline
+        # config total < B and this is the identity.
+        slots0 = jnp.minimum(march.n_samples, max_samples)  # (N,)
+        total0 = jnp.sum(slots0)
+        need = total0 > sample_budget
+        k = jnp.where(
+            need,
+            jnp.maximum(
+                (slots0 * sample_budget) // jnp.maximum(total0, 1),
+                jnp.minimum(slots0, 1),  # nonempty rays keep >= 1
+            ),
+            slots0,
+        )  # (N,) per-ray keep target; sum <= B + (#rays bumped to 1)
+        s_idx = jnp.arange(max_samples, dtype=jnp.int32)[None, :]
+        c = slots0[:, None]
+        kk = k[:, None]
+        cg = jnp.maximum(c, 1)
+        kg = jnp.maximum(kk, 1)
+        f0 = (s_idx * kk + cg - 1) // cg  # ceil(j*k/c)
+        f1 = ((s_idx + 1) * kk + cg - 1) // cg
+        kept = (f1 > f0) & (f0 < kk)  # exactly k slots of the first c
+        nxt = jnp.minimum(((f0 + 1) * cg) // kg, c)
+        rep = jnp.maximum(nxt - s_idx, 1).astype(march.deltas.dtype)
+        sub = need & (c > kk)  # rays actually subsampled
+        valid_b = march.valid & jnp.where(sub, kept, march.valid)
+        deltas_b = march.deltas * jnp.where(sub, rep, 1.0)
+
+        flat_valid = valid_b.reshape(-1)
         n_flat = flat_valid.shape[0]
         # one stable valid-first sort carrying the source index AND the
         # deltas as payloads (deltas must be fetched, not reconstructed:
@@ -110,7 +144,7 @@ def render_rays(
         iota = jnp.arange(n_flat, dtype=jnp.int32)
         _, order, dt_all = jax.lax.sort(
             [(~flat_valid).astype(jnp.int32), iota,
-             march.deltas.reshape(-1)],
+             deltas_b.reshape(-1)],
             dimension=0, num_keys=1, is_stable=True,
         )
         sel = order[:sample_budget]
@@ -132,7 +166,7 @@ def render_rays(
         # avoids another 4-byte gather over the flat layout)
         ts_c = jnp.sum((pts - rays_o[ray_id]) * drs, axis=1)
 
-        slots = jnp.minimum(march.n_samples, max_samples)  # valid slots/ray
+        slots = k  # valid slots per ray after the proportional subsample
         starts = jnp.cumsum(slots) - slots  # (N,)
         cnt = (
             jnp.minimum(starts + slots, sample_budget)
@@ -144,9 +178,9 @@ def render_rays(
             T_threshold,
         )
         out["vr_samples"] = vr_total
-        out["overflow"] = jnp.maximum(
-            jnp.sum(march.valid) - sample_budget, 0
-        )
+        # samples shaved by the proportional subsample (plus the rare
+        # truncation remainder from the keep>=1 bump)
+        out["overflow"] = jnp.maximum(total0 - sample_budget, 0)
         if need_ws:
             # dense per-sample weights only when a consumer (distortion
             # regularizer) asks — costs one scatter back to (N, S)

@@ -58,6 +58,12 @@ def segmented_cumsum(vals, flags):
         vb, fb = b
         return vb + va * (1.0 - fb), jnp.maximum(fa, fb)
 
+    # NOTE(falsified): a two-tier blocked formulation — reshape to
+    # (B/128, 128), scan the lane axis, fix up row carries with a scan over
+    # the row axis — measured consistently SLOWER in-train than this flat
+    # scan (68.7 vs 68.0 ms/step A/B, tools/PERF_NOTES.md): XLA already
+    # vectorizes the flat scan's combine passes; the reshape + carry fixup
+    # overhead exceeds the saved passes.
     out, _ = jax.lax.associative_scan(combine, (vals, f))
     return out
 

@@ -229,6 +229,12 @@ def build_wide_slabs(table, spec: HashGridSpec):
         s = spec.sizes[lvl]
         o = spec.offsets[lvl]
         slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
+        if slab.dtype == jnp.float32 and _packable_size(s, F):
+            # levels served by the packed bf16 gather build their widened
+            # slab in bf16 from the start: rolls are pure permutations, so
+            # this is BIT-IDENTICAL to casting after the build while
+            # halving the build and pack-relayout bandwidth
+            slab = slab.astype(jnp.bfloat16)
         # Doubling tree: corner offset o_c = (c&1)*1 + ((c>>1)&1)*cy +
         # ((c>>2)&1)*cz, so three widen-by-roll steps produce all eight
         # corners in corner order (x fastest).  A padded 2-D roll costs one
@@ -274,14 +280,20 @@ def _gather_rows_packed_bf16(slab, rows_local):
     return jnp.einsum("nj,njf->nf", sel, gp.reshape(n, P, wdt))
 
 
-def _packable(slab, size: int, F: int) -> bool:
+def _packable_size(size: int, F: int) -> bool:
     wdt = 8 * F
     return (
-        slab.dtype == jnp.float32
-        and wdt <= 64
+        wdt <= 64
         and 128 % wdt == 0
         and size % (128 // wdt) == 0
         and size >= _PACK_MIN_ROWS
+    )
+
+
+def _packable(slab, size: int, F: int) -> bool:
+    return (
+        slab.dtype in (jnp.float32, jnp.bfloat16)
+        and _packable_size(size, F)
     )
 
 
