@@ -132,6 +132,37 @@ class TestHashEncoder:
         want = hash_encode_np(table, xyz, spec)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
+    def test_packed_bf16_gather_matches_row_gather(self, rng, monkeypatch):
+        """The packed-row bf16 gather (engaged for slabs >= 2^17 rows in
+        production; threshold lowered here so CPU CI covers the packing
+        arithmetic) must be exactly take(...).astype(bf16)."""
+        import virus_nerf_tpu.ops.hash_encoder as he
+
+        monkeypatch.setattr(he, "_PACK_MIN_ROWS", 64)
+        slab = jnp.asarray(rng.random((512, 16)).astype(np.float32))
+        rows = jnp.asarray(rng.integers(0, 512, size=257).astype(np.int32))
+        assert he._packable(slab, 512, 2)
+        got = np.asarray(
+            he._gather_rows_packed_bf16(slab, rows).astype(jnp.float32)
+        )
+        want = np.asarray(jnp.take(slab, rows, axis=0).astype(jnp.bfloat16))
+        np.testing.assert_array_equal(got, want)
+
+    def test_packed_forward_within_bf16_tolerance(self, rng, monkeypatch):
+        """End-to-end: hash_encode with the packed path engaged on every
+        packable level stays within bf16 rounding of the f32 forward."""
+        import virus_nerf_tpu.ops.hash_encoder as he
+
+        spec = HashGridSpec.create(
+            levels=8, feat_dim=2, base_res=4, max_res=64, max_params=2**10
+        )
+        table = jnp.asarray(rng.random(spec.total_params).astype(np.float32))
+        xyz = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+        base = np.asarray(hash_encode(table, xyz, spec))
+        monkeypatch.setattr(he, "_PACK_MIN_ROWS", 8)
+        packed = np.asarray(hash_encode(table, xyz, spec))
+        np.testing.assert_allclose(packed, base, rtol=0, atol=1.0 / 128)
+
     def test_gradient_is_scatter_add(self, rng):
         spec = HashGridSpec.create(
             levels=2, feat_dim=2, base_res=4, max_res=8, max_params=2**9
