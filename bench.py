@@ -137,11 +137,31 @@ def check_kernels() -> bool:
     return ok
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Retry backend init through transient tunnel outages: the remote
+    TPU endpoint drops occasionally ('Unable to initialize backend:
+    UNAVAILABLE', observed 2026-08-17) and the driver runs this script
+    unattended."""
+    import time as _t
+
+    deadline = _t.monotonic() + max_wait_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if _t.monotonic() > deadline:
+                raise
+            print(f"# backend unavailable, retrying: {e}", flush=True)
+            _t.sleep(30.0)
+
+
 def main():
     from virus_nerf_tpu.configs.config import Config
     from virus_nerf_tpu.data import make_synthetic_dataset
     from virus_nerf_tpu.training import Trainer
 
+    _wait_for_backend()
     kernels_ok = check_kernels() if jax.default_backend() == "tpu" else None
 
     cfg = Config()

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--max-samples", type=int, default=128,
                    help="march per-ray cap S (speed/quality ablation: "
                         "64 halves the heavy-tail rays' sample count)")
+    p.add_argument("--batch-size", type=int, default=4096,
+                   help="rays per step (throughput-scaling ablation; "
+                        "steps are scaled down to keep total rays fixed)")
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args()
 
@@ -53,11 +56,13 @@ def main():
     cfg.model.hash_levels = 16
     cfg.model.hash_log2_T = 19
     cfg.model.hash_max_res = 1024
-    cfg.training.batch_size = 4096
+    cfg.training.batch_size = args.batch_size
     cfg.training.max_samples_per_ray = args.max_samples
     cfg.training.march_candidates = 1024
-    cfg.training.sample_budget = 4096 * args.samples_per_ray
-    cfg.training.max_steps = args.steps
+    cfg.training.sample_budget = args.batch_size * args.samples_per_ray
+    # larger batches train the same TOTAL rays in fewer steps so the
+    # wall-clock-vs-quality comparison stays ray-for-ray fair
+    cfg.training.max_steps = max(1, args.steps * 4096 // args.batch_size)
     cfg.training.max_time = 1e9
     cfg.training.sampling_strategy = {
         "imgs": "all",
@@ -107,6 +112,7 @@ def main():
         "hash_variant": args.hash_variant,
         "samples_per_ray": args.samples_per_ray,
         "max_samples": args.max_samples,
+        "batch_size": args.batch_size,
         "seed": args.seed,
         "steps": steps,
         "train_seconds": round(train_s, 1),
