@@ -22,6 +22,9 @@ from virus_nerf_tpu.optimization.plots import (  # noqa: F401
     plot_metric_landscape,
     plot_pso_results,
 )
+from virus_nerf_tpu.optimization.parallel_eval import (  # noqa: F401
+    make_population_eval,
+)
 from virus_nerf_tpu.optimization.runner import (  # noqa: F401
     apply_hparams,
     run_optimization,
