@@ -167,3 +167,44 @@ def test_composite_matches_reference(rng):
             np.asarray(out.ws[r, :n]), ws, rtol=1e-4, atol=1e-7
         )
         assert int(out.vr_samples[r]) == count
+
+
+def test_super_coarse_preprobe_is_output_invariant(rng, monkeypatch):
+    """The _SUPER_STRIDE pre-probe only masks provably-empty stride-4 probe
+    lookups to row 0; replacing its pooled grid with all-ones (mask
+    disabled) must leave the march output bit-identical — including rays
+    that overflow the budget and subsample the superset."""
+    from virus_nerf_tpu.ops import ray_march as rm
+
+    grid_size, n_rays, S = 128, 64, 16  # tiny budget: overflow guaranteed
+    occ = rng.random((1, grid_size**3)) < 0.03
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 0.4
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), 0.5)
+    args = (jnp.asarray(o), jnp.asarray(d), hits, jnp.asarray(occ),
+            jnp.asarray(noise))
+    kw = dict(cascades=1, grid_size=grid_size, scale=0.5,
+              exp_step_factor=0.0, max_samples=S, n_candidates=1024)
+
+    masked = march_rays_train(*args, **kw)
+    real_pool = rm._coarse_pool
+    monkeypatch.setattr(
+        rm, "_coarse_pool",
+        lambda g, gs, f: jnp.ones_like(real_pool(g, gs, f)),
+    )
+    unmasked = march_rays_train(*args, **kw)
+
+    # the pre-probe must actually fire on this sparse grid (mask non-trivial)
+    pooled = np.asarray(real_pool(jnp.asarray(occ), grid_size, 4))
+    assert not pooled.all()
+
+    np.testing.assert_array_equal(
+        np.asarray(masked.n_samples), np.asarray(unmasked.n_samples))
+    np.testing.assert_array_equal(
+        np.asarray(masked.valid), np.asarray(unmasked.valid))
+    np.testing.assert_array_equal(
+        np.asarray(masked.ts), np.asarray(unmasked.ts))
+    np.testing.assert_array_equal(
+        np.asarray(masked.deltas), np.asarray(unmasked.deltas))
