@@ -322,16 +322,25 @@ def load_rh_dataset(
     )
 
     rgbs, depths_raw = [], []
+    import cv2
+
     for obs_id in df["id"].to_numpy():
         rgb_f, d_f = rh.get_RGBD_files(obs_id)
         rgbs.append(mpimg.imread(rgb_f))
-        depths_raw.append(mpimg.imread(d_f))
+        # depth must keep its raw integer scale (0..255, later 5*d/128 m);
+        # mpimg would rescale 8-bit pngs to [0, 1] — read unchanged like
+        # the reference (datasets/dataset_rh.py:332-343) and keep one
+        # channel if the file is 3-channel grayscale
+        d = cv2.imread(d_f, cv2.IMREAD_UNCHANGED)
+        if d.ndim == 3:
+            d = d[:, :, 0]
+        depths_raw.append(d)
     rgbs = np.stack(rgbs).astype(np.float32)
     if rgbs.max() > 1.0:
         rgbs = rgbs / 255.0
     n, H, W = rgbs.shape[:3]
     rgbs = rgbs.reshape(n, H * W, 3)
-    depths_raw = np.stack(depths_raw).reshape(n, H * W)
+    depths_raw = np.stack(depths_raw).astype(np.float32).reshape(n, H * W)
 
     if scene is None:
         scene = make_rh_scene(rh.get_scene_points(home_id, room_id))
