@@ -1,0 +1,98 @@
+"""Per-op profile of the scan-fused train chunk on the bench config.
+
+Warm up past the occupancy grid's steady state (~step 200), trace ONE
+chunk with jax.profiler, and print device-op durations normalized to
+ms/step.  This is the tool behind the step budgets in PERF_NOTES.md —
+trust it for per-op costs; trust bench.py for end-to-end deltas (stubbing
+pieces moves XLA fusion boundaries, see PERF_NOTES "measurement traps").
+
+Usage:
+    python tools/profile_chunk.py [--max-samples 128] [--samples-per-ray 32]
+                                  [--chunk 24] [--top 45]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-samples", type=int, default=128,
+                   help="march per-ray cap S")
+    p.add_argument("--samples-per-ray", type=int, default=32,
+                   help="compaction budget per ray (stream = batch * this)")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=24)
+    p.add_argument("--top", type=int, default=45)
+    p.add_argument("--trace-dir", default="/tmp/jaxtrace")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from virus_nerf_tpu.configs.config import Config
+    from virus_nerf_tpu.data import make_synthetic_dataset
+    from virus_nerf_tpu.training import Trainer
+
+    cfg = Config()
+    cfg.model.grid_type = "occ"
+    cfg.model.grid_size = 128
+    cfg.model.hash_levels = 16
+    cfg.model.hash_log2_T = 19
+    cfg.model.hash_max_res = 1024
+    cfg.training.batch_size = args.batch_size
+    cfg.training.max_samples_per_ray = args.max_samples
+    cfg.training.march_candidates = 1024
+    cfg.training.sample_budget = args.batch_size * args.samples_per_ray
+    cfg.training.sampling_strategy = {
+        "imgs": "all",
+        "pixs": {"valid_uss": 0.4, "valid_tof": 0.4},
+    }
+    cfg.training.sensors = ["USS", "ToF"]
+    cfg.occ_grid.batch_size = 1024
+    cfg.occ_grid.update_interval = 8
+
+    dataset, scene, _ = make_synthetic_dataset(n_images=16, img_wh=(160, 120))
+    trainer = Trainer(cfg, dataset, scene=scene)
+    chunk = trainer._make_train_chunk(args.chunk)
+    state = trainer.init_state()
+    t0 = jnp.float32(0.0)
+
+    # warmup to the grid's ~2.5% steady state (timing earlier measures the
+    # dense transient, PERF_NOTES "steady-state sample statistics")
+    for _ in range(max(1, 200 // args.chunk)):
+        state, met = chunk(state, dataset, t0)
+    float(met["loss"][-1])
+
+    with jax.profiler.trace(args.trace_dir):
+        state, met = chunk(state, dataset, t0)
+        float(met["loss"][-1])
+    print("trace done", flush=True)
+
+    files = sorted(
+        glob.glob(f"{args.trace_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    ev = json.load(gzip.open(files[-1]))["traceEvents"]
+    dur = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e:
+            dur[e.get("name", "?")] += e["dur"]
+    total = sum(dur.values())
+    print(f"config: S={args.max_samples} spr={args.samples_per_ray} "
+          f"batch={args.batch_size} chunk={args.chunk}")
+    print(f"{'ms/step':>9}  op")
+    for name, d in dur.most_common(args.top):
+        print(f"{d / 1e3 / args.chunk:9.3f}  {name[:110]}", flush=True)
+    print(f"(sum of all events {total / 1e3 / args.chunk:.1f} ms/step — "
+          f"includes host rows; read the top device ops, not the sum)")
+
+
+if __name__ == "__main__":
+    main()
