@@ -208,3 +208,50 @@ def test_super_coarse_preprobe_is_output_invariant(rng, monkeypatch):
         np.asarray(masked.ts), np.asarray(unmasked.ts))
     np.testing.assert_array_equal(
         np.asarray(masked.deltas), np.asarray(unmasked.deltas))
+
+
+def test_march_resolution_knob(rng):
+    """march_resolution=512 doubles dt (sqrt(3)/512) and must produce
+    exactly the in-range occupied candidates of the halved lattice — checked
+    against a direct numpy recompute — on BOTH the exact path (odd K
+    disables the hierarchy) and the stride-2 hierarchical fast path that a
+    doubled dt forces ((4-1)*dt no longer fits the radius-1 probe ball)."""
+    grid_size, n_rays, scale = 128, 32, 0.5
+    occ = rng.random((1, grid_size**3)) < 0.05
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 0.4
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+    hits = np.asarray(ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), scale))
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(hits),
+            jnp.asarray(occ), jnp.asarray(noise))
+    kw = dict(cascades=1, grid_size=grid_size, scale=scale,
+              exp_step_factor=0.0, march_resolution=512)
+
+    hier = march_rays_train(*args, max_samples=512, n_candidates=512, **kw)
+    exact = march_rays_train(*args, max_samples=511, n_candidates=511, **kw)
+
+    dt = np.sqrt(3.0) / 512.0
+    for r in range(n_rays):
+        t1, t2 = float(hits[r, 0]), float(hits[r, 1])
+        ts_ref = []
+        if t1 >= 0:
+            for k in range(511):
+                t = t1 + (float(noise[r]) + k) * dt
+                if not (0.0 <= t < t2):
+                    continue
+                xyz = o[r].astype(np.float64) + t * d[r].astype(np.float64)
+                cell = np.clip(
+                    0.5 * (xyz / scale + 1.0) * grid_size, 0, grid_size - 1.0
+                ).astype(np.int64)
+                lin = (cell[0] * grid_size + cell[1]) * grid_size + cell[2]
+                if occ[0, lin]:
+                    ts_ref.append(t)
+        for res in (hier, exact):
+            n = int(res.n_samples[r])
+            assert n == len(ts_ref), f"ray {r}: {n} vs {len(ts_ref)}"
+            if n:
+                np.testing.assert_allclose(
+                    np.asarray(res.ts[r, :n]), ts_ref, rtol=2e-4, atol=2e-5)
+                np.testing.assert_allclose(
+                    np.asarray(res.deltas[r, :n]), dt, rtol=1e-6)

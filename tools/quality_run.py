@@ -31,6 +31,10 @@ def main():
     p.add_argument("--max-samples", type=int, default=128,
                    help="march per-ray cap S (speed/quality ablation: "
                         "64 halves the heavy-tail rays' sample count)")
+    p.add_argument("--march-resolution", type=int, default=1024,
+                   help="marching quadrature dt = sqrt(3)/res (1024 = "
+                        "reference parity; 512 doubles dt and halves "
+                        "sample counts)")
     p.add_argument("--batch-size", type=int, default=4096,
                    help="rays per step (throughput-scaling ablation; "
                         "steps are scaled down to keep total rays fixed)")
@@ -58,7 +62,8 @@ def main():
     cfg.model.hash_max_res = 1024
     cfg.training.batch_size = args.batch_size
     cfg.training.max_samples_per_ray = args.max_samples
-    cfg.training.march_candidates = 1024
+    cfg.training.march_candidates = args.march_resolution
+    cfg.training.march_resolution = args.march_resolution
     cfg.training.sample_budget = args.batch_size * args.samples_per_ray
     # larger batches train the same TOTAL rays in fewer steps so the
     # wall-clock-vs-quality comparison stays ray-for-ray fair
@@ -112,6 +117,7 @@ def main():
         "hash_variant": args.hash_variant,
         "samples_per_ray": args.samples_per_ray,
         "max_samples": args.max_samples,
+        "march_resolution": args.march_resolution,
         "batch_size": args.batch_size,
         "seed": args.seed,
         "steps": steps,

@@ -85,6 +85,11 @@ class TrainingConfig:
     max_samples_per_ray: int = 256
     # Candidate lattice length for the occupancy-masked march.
     march_candidates: int = 1024
+    # Marching quadrature: min step dt = sqrt(3)/march_resolution.  1024 is
+    # bit-exact reference parity (MAX_SAMPLES, modules/rendering.py:8);
+    # lower values coarsen dt proportionally — set march_candidates to the
+    # same value so the lattice still spans the cube diagonal.
+    march_resolution: int = 1024
     # Global compacted-sample budget per batch (None disables compaction):
     # the model runs only on this many (valid-first) samples of the
     # (batch_size, max_samples_per_ray) layout.

@@ -68,6 +68,7 @@ class Evaluator:
             esf = self.cfg.exp_step_factor
             max_samples = self.cfg.evaluation.max_samples_per_ray
             n_candidates = self.cfg.training.march_candidates
+            march_resolution = self.cfg.training.march_resolution
 
             @jax.jit
             def render_chunk(params, occ_bool, rays_o, rays_d):
@@ -76,6 +77,7 @@ class Evaluator:
                     jax.random.PRNGKey(0),
                     exp_step_factor=esf, max_samples=max_samples,
                     n_candidates=n_candidates, jitter=False,
+                    march_resolution=march_resolution,
                 )
                 return {
                     "rgb": out["rgb"], "depth": out["depth"],

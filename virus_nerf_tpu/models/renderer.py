@@ -36,6 +36,7 @@ def render_rays(
     T_threshold: float = 1e-4,
     max_samples: int = 256,
     n_candidates: int = 1024,
+    march_resolution: int = 1024,
     jitter: bool = True,
     sample_budget: Optional[int] = None,
     need_ws: bool = False,
@@ -72,6 +73,7 @@ def render_rays(
         exp_step_factor=exp_step_factor,
         max_samples=max_samples,
         n_candidates=n_candidates,
+        march_resolution=march_resolution,
     )
 
     out: Dict[str, jax.Array] = {

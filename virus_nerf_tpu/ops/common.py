@@ -35,15 +35,19 @@ def _trunc_exp_bwd(x, g):
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
 
 
-def calc_dt(t, exp_step_factor: float, grid_size: int, scale: float):
+def calc_dt(t, exp_step_factor: float, grid_size: int, scale: float,
+            resolution: int = MAX_SAMPLES):
     """Marching step size (reference: modules/utils.py:54-57).
 
     For ``exp_step_factor == 0`` (scale <= 0.5, all ETHZ configs) this is the
-    constant ``SQRT3/1024`` — the property the static-lattice ray march in
-    ops/ray_march.py relies on.
+    constant ``SQRT3/resolution`` — the property the static-lattice ray march
+    in ops/ray_march.py relies on.  ``resolution`` defaults to the
+    reference's MAX_SAMPLES=1024 (bit-exact parity); lower values coarsen
+    the marching quadrature proportionally (a speed/quality knob the
+    reference hard-codes, modules/rendering.py:8).
     """
     return jnp.clip(
-        t * exp_step_factor, SQRT3_MAX_SAMPLES, SQRT3_2 * scale / grid_size
+        t * exp_step_factor, SQRT3 / resolution, SQRT3_2 * scale / grid_size
     )
 
 

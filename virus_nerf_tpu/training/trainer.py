@@ -217,6 +217,7 @@ class Trainer:
         esf = cfg.exp_step_factor
         max_samples = cfg.training.max_samples_per_ray
         n_candidates = cfg.training.march_candidates
+        march_resolution = cfg.training.march_resolution
         sample_budget = cfg.training.sample_budget
         if sample_budget is not None:
             sample_budget = max(1, sample_budget // n_shards)
@@ -244,6 +245,7 @@ class Trainer:
                     batch.rays_o, batch.rays_d, k_render,
                     exp_step_factor=esf, max_samples=max_samples,
                     n_candidates=n_candidates, sample_budget=sample_budget,
+                    march_resolution=march_resolution,
                     need_ws=weights.distortion > 0.0,
                 )
                 loss, loss_dict = compute_loss(results, batch, weights, sensors)
