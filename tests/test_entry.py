@@ -150,3 +150,19 @@ class TestPlots:
         p4 = str(tmp_path / "curves.png")
         plot_training_curves(logs, path=p4)
         assert os.path.exists(p4)
+
+    def test_plot_pointclouds(self, tmp_path, rng):
+        """Counterpart of plotting/training/plot_pointclouds.py: PCD dirs
+        in, one top-down scatter out (via the repo's own PCD I/O)."""
+        from virus_nerf_tpu.data.pcl import save_pcd
+        from virus_nerf_tpu.evaluation.plots import plot_pointclouds
+
+        d = tmp_path / "maps" / "nerf_pcl"
+        d.mkdir(parents=True)
+        pts = [rng.normal(size=(50, 3)).astype(np.float32) for _ in range(3)]
+        for i, p in enumerate(pts):
+            save_pcd(str(d / f"{i}.0.pcd"), p)
+        out = str(tmp_path / "pcl.png")
+        xyz = plot_pointclouds(str(tmp_path / "maps"), path=out)
+        assert os.path.exists(out) and xyz.shape == (150, 3)
+        np.testing.assert_allclose(xyz, np.concatenate(pts), rtol=1e-6)

@@ -339,3 +339,40 @@ def plot_training_curves(
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def plot_pointclouds(
+    pointcloud_dir: str,
+    pcl_dir: str = "nerf_pcl",
+    path: Optional[str] = None,
+) -> np.ndarray:
+    """Top-down scatter of every PCD in ``pointcloud_dir/pcl_dir``,
+    colored by acquisition order
+    (reference: plotting/training/plot_pointclouds.py:10-34, rebuilt on
+    the repo's own PCD loader and Agg file output instead of plt.show).
+
+    Returns the stacked (N, 3) points (also useful headless)."""
+    from virus_nerf_tpu.data.pcl import PCLLoader
+
+    loader = PCLLoader(pointcloud_dir)
+    xyzs = [
+        loader.load_pcl(os.path.join(pcl_dir, f))
+        for f in loader.get_files(pcl_dir)
+    ]
+    xyz = (
+        np.concatenate([x.reshape(-1, 3) for x in xyzs])
+        if xyzs else np.zeros((0, 3), np.float32)
+    )
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.scatter(
+        xyz[:, 0], xyz[:, 1], s=0.1, c=np.arange(xyz.shape[0]), cmap="jet"
+    )
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.tight_layout()
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return xyz
