@@ -193,9 +193,10 @@ def main():
 
     # warmup: compile + converge the occupancy grid to steady-state sparsity
     # (measured: the VIRUS grid reaches its ~2.5% occupied steady state
-    # around step 200-250; timing earlier measures the transient dense
-    # phase, not sustained throughput)
-    for _ in range(200 // CHUNK):
+    # around step 200-250 and per-ray sample counts keep falling until
+    # then; warm up past 250 so the timed window measures sustained
+    # steady-state throughput, not the transient dense phase)
+    for _ in range(288 // CHUNK):
         state, metrics = train_chunk(state, dataset, t0)
     float(metrics["loss"][-1])  # force completion
 
