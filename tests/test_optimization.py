@@ -294,6 +294,35 @@ class TestPopulationParallelEval:
         s3 = be_mesh(X[:3])
         np.testing.assert_allclose(s3, s_mesh[:3], rtol=1e-4, atol=1e-5)
 
+        # 2-D (pop, data) mesh: particles sharded over pop AND each
+        # particle's run data-parallel over data.  The data axis changes
+        # the per-device sub-batch RNG draw (each shard folds its own
+        # axis index), so scores are statistically — not bit — equal to
+        # the plain vmap; the exact invariance is over the POP width:
+        # (1, 4) and (2, 4) meshes run identical per-particle semantics.
+        import jax as _jax
+        from jax.sharding import Mesh
+
+        cpus = np.array(_jax.devices("cpu")[:8])
+        be_2d = make_population_eval(
+            trainer, dataset, steps=8,
+            mesh=Mesh(cpus.reshape(2, 4), ("pop", "data")),
+        )
+        be_2d_b = make_population_eval(
+            trainer, dataset, steps=8,
+            mesh=Mesh(cpus[:4].reshape(1, 4), ("pop", "data")),
+        )
+        s_2d = be_2d(X)
+        np.testing.assert_allclose(s_2d, be_2d_b(X), rtol=1e-4, atol=1e-5)
+        # statistically equivalent to the unsharded objective: finite,
+        # same hyper-parameter response, a few % off from the different
+        # ray draw
+        assert np.all(np.isfinite(s_2d))
+        assert s_2d[1] > s_2d[3]
+        np.testing.assert_allclose(s_2d, s_plain, rtol=0.1)
+        # pop-axis padding: 3 particles on a 2-wide pop axis
+        np.testing.assert_allclose(be_2d(X[:3]), s_2d[:3], rtol=1e-4)
+
     def test_feeds_run_optimization_batch_mode(self, tmp_path):
         """The evaluator plugs into run_optimization(batch_eval=...) and
         drives the batch-synchronous swarm end to end (scores here come

@@ -57,10 +57,17 @@ def make_population_eval(
         dataset: the shared :class:`DeviceDataset` (built once for the
             whole swarm, reference run_optimization.py:44-52).
         steps: train steps per particle per evaluation.
-        mesh: optional 1-D device mesh; the particle axis is sharded over
-            its first axis so devices train particles concurrently.  With
-            ``None`` the vmap still batches all particles in one program
-            on the default device.
+        mesh: optional device mesh.  1-D: the particle axis is sharded
+            over its first axis so devices train particles concurrently.
+            2-D ``(pop, data)``: the particle axis is sharded over the
+            first (pop) axis AND each particle's training run is itself
+            ray-batch data-parallel over the second (data) axis — the
+            whole swarm runs as ONE SPMD program over ``pop * data``
+            chips, composing the Trainer's own data-parallel body
+            (psum-ed grads / grid evidence over the data axis, see
+            parallel/data_parallel.py) under a vmap over local particles.
+            With ``None`` the vmap still batches all particles in one
+            program on the default device.
         weight_fields: LossWeights fields taken from position columns.
         score_key: per-step metric to average ("loss", "depth_loss", ...).
         score_tail: how many trailing steps the score averages over.
@@ -68,36 +75,60 @@ def make_population_eval(
     base_weights = trainer.loss_weights
     n_fields = len(weight_fields)
 
-    def run_one(position, seed):
-        # rebuild the chunk body under per-particle traced loss weights;
-        # `distortion` stays a static python float (it gates `need_ws`
-        # branch structure at trace time, trainer.py loss_fn)
-        replace = {
-            f: position[i] for i, f in enumerate(weight_fields)
-        }
-        trainer.loss_weights = base_weights._replace(**replace)
-        try:
-            chunk = trainer._make_chunk_body(steps)
-            init = trainer._get("init_state", trainer._make_init_state)
-            state = init(seed)
-            state, metrics = chunk(state, dataset, jnp.float32(0.0))
-        finally:
-            trainer.loss_weights = base_weights
-        tail = metrics[score_key][-min(score_tail, steps):]
-        return jnp.mean(tail)
+    def _make_run_one(axis_name=None, n_shards=1):
+        def run_one(position, seed):
+            # rebuild the chunk body under per-particle traced loss
+            # weights; `distortion` stays a static python float (it gates
+            # `need_ws` branch structure at trace time, trainer.py loss_fn)
+            replace = {
+                f: position[i] for i, f in enumerate(weight_fields)
+            }
+            trainer.loss_weights = base_weights._replace(**replace)
+            try:
+                chunk = trainer._make_chunk_body(
+                    steps, axis_name=axis_name, n_shards=n_shards
+                )
+                init = trainer._get("init_state", trainer._make_init_state)
+                state = init(seed)
+                state, metrics = chunk(state, dataset, jnp.float32(0.0))
+            finally:
+                trainer.loss_weights = base_weights
+            tail = metrics[score_key][-min(score_tail, steps):]
+            return jnp.mean(tail)
 
-    fn = jax.vmap(run_one, in_axes=(0, 0))
-    if mesh is not None:
+        return run_one
+
+    if mesh is not None and len(mesh.axis_names) >= 2:
+        # 2-D (pop, data) mesh: shard_map over BOTH axes; each device
+        # holds its pop-block of particles (replicated along data), vmaps
+        # over them, and the Trainer's own data-parallel body binds its
+        # psums to the data axis — particle states stay replicated across
+        # the data axis by construction, so out_specs=P(pop) is exact.
+        from virus_nerf_tpu.parallel.data_parallel import _shard_map
+
+        pop_ax, data_ax = mesh.axis_names[0], mesh.axis_names[1]
+        n_data = mesh.shape[data_ax]
+        inner = jax.vmap(
+            _make_run_one(axis_name=data_ax, n_shards=n_data),
+            in_axes=(0, 0),
+        )
+        fn = jax.jit(_shard_map(
+            inner, mesh,
+            in_specs=(PartitionSpec(pop_ax), PartitionSpec(pop_ax)),
+            out_specs=PartitionSpec(pop_ax),
+        ))
+        n_dev = mesh.shape[pop_ax]
+    elif mesh is not None:
         axis = mesh.axis_names[0]
         shard = NamedSharding(mesh, PartitionSpec(axis))
         fn = jax.jit(
-            fn,
+            jax.vmap(_make_run_one(), in_axes=(0, 0)),
             in_shardings=(shard, shard),
             out_shardings=shard,
         )
         n_dev = int(np.prod(mesh.devices.shape))
     else:
-        fn = jax.jit(fn)
+        fn = jax.jit(jax.vmap(_make_run_one(), in_axes=(0, 0)))
         n_dev = 1
 
     def batch_eval(positions: np.ndarray) -> np.ndarray:
