@@ -536,6 +536,31 @@ class Trainer:
         step = 0
         profiled = False
         dt_est = 0.0  # measured per-step duration for real_time_simulation
+        # Pure-speed path (no per-chunk depth eval, no debug invariants):
+        # stack the chunk metrics into ONE device array (a single host
+        # fetch instead of one ~RTT round trip per metric leaf — the axon
+        # tunnel's RTT is ~tens of ms) and drain it one chunk LATE, so the
+        # fetch and the host-side logging overlap the next chunk's device
+        # execution instead of serializing with it.  debug_mode and
+        # intermediate evaluation need the metrics/state of the chunk just
+        # run, so those paths stay synchronous.
+        pipelined = (
+            int(cfg.evaluation.num_depth_pts_per_step) <= 0
+            and not cfg.training.debug_mode
+        )
+        pending = None  # (first_step, keys, stacked_dev, n, chunk_tic)
+
+        def drain(p):
+            nonlocal dt_est
+            p_step, keys, stacked, n, p_tic = p
+            vals = np.asarray(stacked)  # ONE transfer for all metrics
+            m = {k: vals[i] for i, k in enumerate(keys)}
+            if p_step > 0:  # first chunk's wall time is dominated by compile
+                dt_est = max(time.time() - p_tic, 0.0) / n
+            mnn = self._intermediate_eval(state, time.time() - tic)
+            self._log_chunk(p_step, m, tic, mnn)
+            return m
+
         while step < cfg.training.max_steps:
             # a shorter tail chunk lands exactly on max_steps (the rounded
             # main chunk need not divide it); full-chunk entry alignment is
@@ -548,6 +573,9 @@ class Trainer:
             )
             if cfg.training.profile_dir and not profiled and step > 0:
                 # profile the second chunk (first is compile + warmup)
+                if pending is not None:
+                    drain(pending)
+                    pending = None
                 with jax.profiler.trace(cfg.training.profile_dir):
                     state, metrics = train_chunk(
                         state, self.train_dataset, ets
@@ -558,19 +586,28 @@ class Trainer:
                 continue
             chunk_tic = time.time()
             state, metrics = train_chunk(state, self.train_dataset, ets)
-            m = {k: np.asarray(v) for k, v in metrics.items()}  # (chunk,)
-            if step > 0:  # first chunk's wall time is dominated by compile
-                dt_est = max(time.time() - chunk_tic, 0.0) / this_chunk
-            mnn = self._intermediate_eval(state, time.time() - tic)
-            self._log_chunk(step, m, tic, mnn)
+            keys = list(metrics)
+            stacked = jnp.stack(  # dispatched async, fetched at drain time
+                [metrics[k].astype(jnp.float32) for k in keys]
+            )
+            cur = (step, keys, stacked, this_chunk, chunk_tic)
+            if pipelined:
+                if pending is not None:
+                    drain(pending)
+                pending = cur
+            else:
+                m = drain(cur)
+                if cfg.training.debug_mode:
+                    self._debug_check_state(
+                        state, {k: float(v[-1]) for k, v in m.items()},
+                        step + this_chunk,
+                    )
             step += this_chunk
-            if cfg.training.debug_mode:
-                self._debug_check_state(
-                    state, {k: float(v[-1]) for k, v in m.items()}, step
-                )
             if time.time() - tic > cfg.training.max_time:
                 self.logger.info(f"max_time reached at step {step}")
                 break
+        if pending is not None:
+            drain(pending)
         return state, step
 
     # ------------------------------------------------------------ debug mode
