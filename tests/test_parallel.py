@@ -142,3 +142,43 @@ def test_dp_step_deterministic():
         np.asarray(s1.params.xyz_w[0]), np.asarray(s2.params.xyz_w[0])
     )
     np.testing.assert_array_equal(float(m1["loss"]), float(m2["loss"]))
+
+
+def test_pallas_gate_override():
+    """The Pallas gate (ops/common.py) must honor the contextvar override:
+    mesh-aware callers pin it to the MESH's platform because
+    jax.default_backend() still reports "tpu" when the TPU plugin is
+    registered but the program is lowered for a virtual CPU mesh — the
+    regression that broke dryrun_multichip ("Only interpret mode is
+    supported on CPU backend")."""
+    from virus_nerf_tpu.ops.common import pallas_kernels, tpu_kernels_enabled
+
+    base = tpu_kernels_enabled()
+    with pallas_kernels(False):
+        assert tpu_kernels_enabled() is False
+        with pallas_kernels(True):
+            assert tpu_kernels_enabled() is True
+        assert tpu_kernels_enabled() is False
+    assert tpu_kernels_enabled() == base
+
+
+def test_segment_sum_gate_routes_to_jnp():
+    """Under pallas_kernels(False) the segment-sum group op must take the
+    jnp formulation even where the kernel would be shape-eligible (this is
+    what keeps the CPU-mesh dryrun lowerable)."""
+    import jax.numpy as jnp
+
+    from virus_nerf_tpu.ops.common import pallas_kernels
+    from virus_nerf_tpu.ops.segment_sum_pallas import group_segment_sum_t
+
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.normal(size=(2, 256, 16)).astype(np.float32))
+    keys = jnp.asarray(rng.integers(0, 64, size=(2, 256)).astype(np.int32))
+    with pallas_kernels(False):
+        out = np.asarray(group_segment_sum_t(vals, keys, 64))
+    ref = np.zeros((2, 16, 64), np.float32)
+    v, k = np.asarray(vals), np.asarray(keys)
+    for g in range(2):
+        for i in range(256):
+            ref[g, :, k[g, i]] += v[g, i]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -18,6 +18,10 @@ import collections
 import glob
 import gzip
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

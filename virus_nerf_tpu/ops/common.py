@@ -7,8 +7,40 @@ elementwise VPU math on whole ray batches, no per-thread kernels.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time gate for Pallas TPU kernels.  `jax.default_backend()` alone is
+# wrong in this environment: the TPU PJRT plugin stays registered even when a
+# program runs on a virtual CPU mesh (e.g. `dryrun_multichip`), so code traced
+# for CPU devices would still emit `pallas_call`s that CPU cannot lower.
+# Mesh-aware callers (parallel/) override the gate for the platform their
+# devices actually are.
+_PALLAS_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "tpu_pallas_override", default=None
+)
+
+
+def tpu_kernels_enabled() -> bool:
+    """True iff Pallas TPU kernels should be emitted at this trace point."""
+    ov = _PALLAS_OVERRIDE.get()
+    if ov is not None:
+        return ov
+    return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def pallas_kernels(enabled: bool):
+    """Force the Pallas gate on/off for code traced inside this context."""
+    tok = _PALLAS_OVERRIDE.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _PALLAS_OVERRIDE.reset(tok)
+
 
 # reference: modules/utils.py:12-16
 MAX_SAMPLES = 1024

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from virus_nerf_tpu.ops.common import tpu_kernels_enabled
+
 _BLK = 131072  # f32 elements per grid step (0.5 MB per operand)
 
 
@@ -113,9 +115,10 @@ def fused_adam(
             nu=jax.tree_util.tree_map(z, params),
         )
 
-    on_tpu = jax.default_backend() == "tpu"
-
     def update(grads, state, params=None):
+        # evaluated at trace time (not factory time) so mesh-aware callers
+        # can override the gate for non-TPU device meshes
+        on_tpu = tpu_kernels_enabled()
         del params
         count = state.count + 1
         t = count.astype(jnp.float32)

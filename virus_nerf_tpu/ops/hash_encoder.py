@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from virus_nerf_tpu.ops.common import tpu_kernels_enabled
 from virus_nerf_tpu.ops.segment_sum_pallas import (
     group_segment_sum_t,
     group_segment_sum_t_sorted,
@@ -472,7 +473,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     for lvl in range(spec.levels):
         groups.setdefault(spec.sizes[lvl], []).append(lvl)
 
-    use_kernel = jax.default_backend() == "tpu"
+    use_kernel = tpu_kernels_enabled()
     pi = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32), (spec.levels, n)
     )

@@ -38,6 +38,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from virus_nerf_tpu.ops.common import tpu_kernels_enabled
+
 _B = 2048  # output rows per grid step
 _W = 1024  # stream samples per DMA chunk
 _SUB = 128  # compute sub-block within a chunk (swept on v5e: (B, SUB) of
@@ -227,7 +229,7 @@ def group_segment_sum_t_sorted(sv, sk, n_rows: int):
         (G, F, n_rows) f32 sums — table axis in lanes (see module doc).
     """
     G, K, F = sv.shape
-    if jax.default_backend() == "tpu" and kernel_applicable(n_rows, F):
+    if tpu_kernels_enabled() and kernel_applicable(n_rows, F):
         return _sorted_group_segment_sum_t_tpu(sv, sk, n_rows)
     out = jnp.stack(
         [_windowed_segment_sum_jnp(sv[g], sk[g], n_rows) for g in range(G)]
@@ -266,7 +268,7 @@ def windowed_segment_sum(sv, sk, n_rows: int):
     Returns:
         (n_rows, F) f32 sums.
     """
-    if jax.default_backend() == "tpu" and kernel_applicable(
+    if tpu_kernels_enabled() and kernel_applicable(
         n_rows, sv.shape[1]
     ):
         return _sorted_group_segment_sum_t_tpu(

@@ -131,6 +131,16 @@ def make_population_eval(
         fn = jax.jit(jax.vmap(_make_run_one(), in_axes=(0, 0)))
         n_dev = 1
 
+    # Pallas gate follows the mesh's platform, not jax.default_backend()
+    # (the TPU plugin stays registered when evaluating on the CPU mesh)
+    from virus_nerf_tpu.ops.common import pallas_kernels
+
+    mesh_on_tpu = (
+        mesh.devices.flat[0].platform == "tpu"
+        if mesh is not None
+        else jax.default_backend() == "tpu"
+    )
+
     def batch_eval(positions: np.ndarray) -> np.ndarray:
         positions = np.asarray(positions, np.float32)
         if positions.ndim != 2 or positions.shape[1] < n_fields:
@@ -145,7 +155,8 @@ def make_population_eval(
                 [positions, np.repeat(positions[-1:], pad, axis=0)]
             )
         seeds = jnp.arange(positions.shape[0], dtype=jnp.int32)
-        scores = np.asarray(fn(jnp.asarray(positions), seeds))
+        with pallas_kernels(mesh_on_tpu):
+            scores = np.asarray(fn(jnp.asarray(positions), seeds))
         return scores[:n].astype(np.float64)
 
     return batch_eval

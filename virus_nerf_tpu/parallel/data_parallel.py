@@ -48,7 +48,22 @@ def _shard_map(fn, mesh, in_specs, out_specs):
             check_rep=False,
         )
 
+from virus_nerf_tpu.ops.common import pallas_kernels
 from virus_nerf_tpu.training.trainer import Trainer, TrainState  # noqa: F401
+
+
+def _jit_for_mesh(mapped, mesh: Mesh):
+    """jit a shard_mapped body with the Pallas gate pinned to the MESH's
+    platform — `jax.default_backend()` still says "tpu" when the TPU plugin
+    is registered but the mesh is the virtual CPU one (dryrun_multichip)."""
+    jitted = jax.jit(mapped)
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
+
+    def call(*args):
+        with pallas_kernels(on_tpu):
+            return jitted(*args)
+
+    return call
 
 
 def make_mesh(
@@ -94,7 +109,7 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, axis: str = "data"):
     mapped = _shard_map(
         body, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
     )
-    return jax.jit(mapped)
+    return _jit_for_mesh(mapped, mesh)
 
 
 def make_dp_occ_update(trainer: Trainer, mesh: Mesh, axis: str = "data"):
@@ -107,7 +122,7 @@ def make_dp_occ_update(trainer: Trainer, mesh: Mesh, axis: str = "data"):
     mapped = _shard_map(
         body, mesh, in_specs=(P(), P(), P()), out_specs=P()
     )
-    return jax.jit(mapped)
+    return _jit_for_mesh(mapped, mesh)
 
 
 def make_dp_train_chunk(
@@ -131,4 +146,4 @@ def make_dp_train_chunk(
     mapped = _shard_map(
         body, mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
     )
-    return jax.jit(mapped)
+    return _jit_for_mesh(mapped, mesh)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from virus_nerf_tpu.configs.config import Config
+from virus_nerf_tpu.ops.common import pallas_kernels
 
 logger = logging.getLogger("virus_nerf_tpu")
 
@@ -106,7 +107,13 @@ def make_population_eval(
                 ds_i = jax.device_put(train_ds, dev)
                 trainer = Trainer(cfg, ds_i, scene=scene)
                 state = trainer.init_state()
-                chunk = jax.jit(trainer._make_chunk_body(chunk_steps))
+                jitted = jax.jit(trainer._make_chunk_body(chunk_steps))
+
+                def chunk(*a, _f=jitted, _tpu=dev.platform == "tpu"):
+                    # Pallas gate follows the particle's device platform,
+                    # not jax.default_backend() (see ops/common.py)
+                    with pallas_kernels(_tpu):
+                        return _f(*a)
             parts.append(
                 dict(dev=dev, trainer=trainer, ds=ds_i, state=state,
                      chunk=chunk, n_chunks=n_chunks, metrics=None)
