@@ -85,15 +85,29 @@ def main():
     )
     ev = json.load(gzip.open(files[-1]))["traceEvents"]
     dur = collections.Counter()
+    meta = {}
     for e in ev:
         if e.get("ph") == "X" and "dur" in e:
-            dur[e.get("name", "?")] += e["dur"]
+            name = e.get("name", "?")
+            dur[name] += e["dur"]
+            a = e.get("args")
+            if a and name not in meta:
+                meta[name] = a
     total = sum(dur.values())
     print(f"config: S={args.max_samples} spr={args.samples_per_ray} "
           f"batch={args.batch_size} chunk={args.chunk}")
     print(f"{'ms/step':>9}  op")
     for name, d in dur.most_common(args.top):
-        print(f"{d / 1e3 / args.chunk:9.3f}  {name[:110]}", flush=True)
+        a = meta.get(name, {})
+        # surface whatever source attribution the trace carries for fusions
+        extra = a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+        cat = a.get("hlo_category") or ""
+        line = f"{d / 1e3 / args.chunk:9.3f}  {name[:60]}"
+        if cat:
+            line += f"  [{cat}]"
+        if extra:
+            line += f"  {str(extra)[:160]}"
+        print(line, flush=True)
     print(f"(sum of all events {total / 1e3 / args.chunk:.1f} ms/step — "
           f"includes host rows; read the top device ops, not the sum)")
 
