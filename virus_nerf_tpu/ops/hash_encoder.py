@@ -460,10 +460,15 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     n = rows.shape[-1]
     g = g.reshape(n, spec.levels, F)  # (N, L, F)
 
-    # d out / d W[base, kF+f] = w[k] * g[l, f]  ->  (L, N, 8F) wide grads
-    gv = (
-        w.transpose(0, 2, 1)[:, :, :, None] * g.transpose(1, 0, 2)[:, :, None, :]
-    ).reshape(spec.levels, n, 8 * F)
+    # d out / d W[base, kF+f] = w[k] * g[l, f]  ->  per-level (N, 8F) wide
+    # grads, built lazily per level: materializing the (L, N, 8F) stack and
+    # re-slicing it measured ~4.8 ms/step of pure relayout (copy of the
+    # stacked layout + a 16-way slice fusion) on the bench config
+    def gv_level(lvl):
+        return (
+            w[lvl].T[:, :, None] * g[:, lvl, None, :]
+        ).reshape(n, 8 * F)
+
     local = rows - jnp.asarray(spec.offsets, jnp.int32)[:, None]  # (L, N)
 
     # group levels by table size so each group reduces as ONE batched op;
@@ -487,7 +492,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
             # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
             # lane-roll fold, one small final transpose per level
             sv = jnp.stack(
-                [jnp.take(gv[lvl], sp_all[lvl], axis=0) for lvl in lvls]
+                [jnp.take(gv_level(lvl), sp_all[lvl], axis=0) for lvl in lvls]
             )
             dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
             for j, lvl in enumerate(lvls):
@@ -496,7 +501,8 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
                 )  # (F, size)
                 slabs[lvl] = ft.T
         else:
-            dws = _batched_segment_rows_sum(gv[idx], local[idx], size)
+            gv_g = jnp.stack([gv_level(lvl) for lvl in lvls])
+            dws = _batched_segment_rows_sum(gv_g, local[idx], size)
             for j, lvl in enumerate(lvls):
                 slabs[lvl] = _fold_wide(
                     dws[j], spec.stride_y[lvl], spec.stride_z[lvl], size

@@ -50,16 +50,23 @@ _NSUB = _W // _SUB
 
 
 def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
-              acc_ref, sems, *, F: int, Kp: int):
-    """Double-buffered DMA pipeline + sub-block-skipped MXU compute.
+              acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int):
+    """Cross-block-pipelined DMA + sub-block-skipped MXU compute.
 
     DMA granularity stays at the aligned _W-sample chunk (Mosaic dynamic
     slices must be tile-aligned; rounding the window start down is safe —
     leading samples belong to earlier blocks and match no one-hot row).
     Compute runs per _SUB-sample sub-block and SKIPS sub-blocks outside the
     block's [start, end) key range: the average block has ~K*B/R samples,
-    so most of a full chunk would be one-hot/matmul padding (measured 19.3
-    -> 13.5 ms for the 10-level bench group with skip + double buffering).
+    so most of a full chunk would be one-hot/matmul padding.
+
+    The pipeline crosses GRID steps: block b owns slot pair {2*(b%2),
+    2*(b%2)+1} and starts the NEXT block's chunk-0 copy into the other
+    pair as soon as its own chunk 0 is in flight — without this, every one
+    of the G * n_blocks grid steps exposes a full ~1 us HBM latency on its
+    first chunk (measured 14.2 -> 11.3 ms for the 10-level bench group;
+    slicing the value operand to its 2F live lanes before the dot cuts the
+    (128, B) f32 product to (2F, B) for another 11.3 -> 9.3 ms).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -69,14 +76,16 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     p0 = starts_ref[g, b]
     p1 = starts_ref[g, b + 1]
     c0 = (p0 // _W) * _W
-    n_chunks = (p1 - c0 + _W - 1) // _W
-    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    # EMPTY blocks (p0 == p1, common on skewed march keys) must see
+    # n_chunks == 0: the predecessor's prefetch guard (np1 > np0) skips
+    # them, so a wait here would hang on a never-started copy
+    n_chunks = jnp.where(p1 > p0, (p1 - c0 + _W - 1) // _W, 0)
 
-    def copies(c, slot):
-        off = pl.multiple_of(c0 + c * _W, _W)
+    def copies(gg, c0x, c, slot):
+        off = pl.multiple_of(c0x + c * _W, _W)
         # keys live in ONE flat vector: a (G, K) int32 array cannot be
         # sliced to a single row (sublane tile is 8)
-        koff = pl.multiple_of(g * Kp + off, _W)
+        koff = pl.multiple_of(gg * Kp + off, _W)
         return (
             pltpu.make_async_copy(
                 sk_hbm.at[pl.ds(koff, _W)],
@@ -84,25 +93,47 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                sv_hbm.at[g, pl.ds(off, _W)], sv_vmem.at[slot],
+                sv_hbm.at[gg, pl.ds(off, _W)], sv_vmem.at[slot],
                 sems.at[slot, 1],
             ),
         )
 
-    @pl.when(n_chunks > 0)
+    base = 2 * jax.lax.rem(b, 2)
+
+    # the very first block has no predecessor to prefetch its chunk 0
+    @pl.when((g == 0) & (b == 0) & (n_chunks > 0))
     def _():
-        for cp in copies(0, 0):
+        for cp in copies(g, c0, 0, base):
             cp.start()
 
+    # prefetch the NEXT block's chunk 0 into the other slot pair (it waits
+    # on its own semaphores, so ordering with this block's compute is safe)
+    nb = b + 1
+    ng = jnp.where(nb == n_blocks, g + 1, g)
+    nbb = jnp.where(nb == n_blocks, 0, nb)
+
+    @pl.when(ng < G)
+    def _():
+        np0 = starts_ref[ng, nbb]
+        np1 = starts_ref[ng, nbb + 1]
+        nc0 = (np0 // _W) * _W
+
+        @pl.when(np1 > np0)
+        def _():
+            for cp in copies(ng, nc0, 0, 2 * jax.lax.rem(nbb, 2)):
+                cp.start()
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
     def body(c, carry):
-        slot = jax.lax.rem(c, 2)
+        slot = base + jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            for cp in copies(c + 1, 1 - slot):
+            for cp in copies(g, c0, c + 1, base + jax.lax.rem(c + 1, 2)):
                 cp.start()
 
-        for cp in copies(c, slot):
+        for cp in copies(g, c0, c, slot):
             cp.wait()
         off = pl.multiple_of(c0 + c * _W, _W)
         sk_view = sk_vmem.at[pl.ds(slot * _W, _W)]
@@ -120,10 +151,11 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
                     == local[None, :]
                 ).astype(jnp.bfloat16)
                 # contract the sample axis of both operands:
-                # (SUB,128)^T x (SUB,B) on the MXU, result (128, B) — the
-                # table axis lands in LANES
+                # (SUB,2F)^T x (SUB,B) on the MXU, result (2F, B) — the
+                # table axis lands in LANES; slicing the live 2F value
+                # lanes shrinks the f32 product 4x (same MXU tiles)
                 prod = jax.lax.dot_general(
-                    sv_view[pl.ds(sub * _SUB, _SUB), :], A,
+                    sv_view[pl.ds(sub * _SUB, _SUB), pl.ds(0, 2 * F)], A,
                     (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -181,14 +213,14 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
             memory_space=pltpu.MemorySpace.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * _W,), jnp.int32),
-            pltpu.VMEM((2, _W, 128), jnp.bfloat16),
+            pltpu.VMEM((4 * _W,), jnp.int32),
+            pltpu.VMEM((4, _W, 128), jnp.bfloat16),
             pltpu.VMEM((F, _B), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
     out = pl.pallas_call(
-        partial(_t_kernel, F=F, Kp=Kp),
+        partial(_t_kernel, F=F, Kp=Kp, n_blocks=n_blocks, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, F, n_pad), jnp.float32),
     )(starts.astype(jnp.int32), skp, svp)
