@@ -111,6 +111,21 @@ def main():
     print(f"(sum of all events {total / 1e3 / args.chunk:.1f} ms/step — "
           f"includes host rows; read the top device ops, not the sum)")
 
+    # category rollup over device-lane ops only (those with hlo_category):
+    # the long tail below --top hides here
+    by_cat = collections.Counter()
+    n_cat = collections.Counter()
+    for name, d in dur.items():
+        cat = (meta.get(name) or {}).get("hlo_category")
+        if cat:
+            by_cat[cat] += d
+            n_cat[cat] += 1
+    dev_total = sum(by_cat.values())
+    print(f"\ndevice ops by hlo_category ({dev_total / 1e3 / args.chunk:.1f} "
+          f"ms/step total):")
+    for cat, d in by_cat.most_common():
+        print(f"{d / 1e3 / args.chunk:9.3f}  {n_cat[cat]:5d} ops  {cat}")
+
 
 if __name__ == "__main__":
     main()
