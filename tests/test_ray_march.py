@@ -170,11 +170,19 @@ def test_composite_matches_reference(rng):
 
 
 def test_super_coarse_preprobe_is_output_invariant(rng, monkeypatch):
-    """The _SUPER_STRIDE pre-probe only masks provably-empty stride-4 probe
+    """On the UNCOMPACTED hierarchical path (_FORCE_FULL_HIER) the
+    _SUPER_STRIDE pre-probe only masks provably-empty stride-4 probe
     lookups to row 0; replacing its pooled grid with all-ones (mask
     disabled) must leave the march output bit-identical — including rays
-    that overflow the budget and subsample the superset."""
+    that overflow the budget and subsample the superset.
+
+    The compacted path does NOT share this invariant: there, the pre-probe
+    determines which probes count as active and thus which fit
+    _PROBE_BUDGET (see the constants block in ops/ray_march.py), so the
+    invariant is checked with compaction forced off."""
     from virus_nerf_tpu.ops import ray_march as rm
+
+    monkeypatch.setattr(rm, "_FORCE_FULL_HIER", True)
 
     grid_size, n_rays, S = 128, 64, 16  # tiny budget: overflow guaranteed
     occ = rng.random((1, grid_size**3)) < 0.03

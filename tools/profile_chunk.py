@@ -91,8 +91,13 @@ def main():
             name = e.get("name", "?")
             dur[name] += e["dur"]
             a = e.get("args")
-            if a and name not in meta:
-                meta[name] = a
+            if a:
+                # merge: later events may carry hlo_category / long_name the
+                # first one lacked (events without args would otherwise drop
+                # the op from the category rollup)
+                m = meta.setdefault(name, {})
+                for k, v in a.items():
+                    m.setdefault(k, v)
     total = sum(dur.values())
     print(f"config: S={args.max_samples} spr={args.samples_per_ray} "
           f"batch={args.batch_size} chunk={args.chunk}")
@@ -124,7 +129,8 @@ def main():
     print(f"\ndevice ops by hlo_category ({dev_total / 1e3 / args.chunk:.1f} "
           f"ms/step total):")
     for cat, d in by_cat.most_common():
-        print(f"{d / 1e3 / args.chunk:9.3f}  {n_cat[cat]:5d} ops  {cat}")
+        print(f"{d / 1e3 / args.chunk:9.3f}  {n_cat[cat]:5d} distinct ops  "
+              f"{cat}")
 
 
 if __name__ == "__main__":
