@@ -175,6 +175,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_checkpoint_config_drift_fails(tmp_path):
+    """Loading a checkpoint against a template built from a drifted config
+    must raise (VERDICT r2 item 10), never deserialize silently into the
+    wrong leaves."""
+    import pytest as _pytest
+
+    cfg = _tiny_config("occ", max_steps=2)
+    dataset, scene, _ = make_synthetic_dataset(n_images=4, img_wh=(32, 24))
+    trainer = Trainer(cfg, dataset, scene=scene)
+    state = trainer.train()
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save_checkpoint(state, path)
+
+    # shape drift: smaller hash table
+    cfg2 = _tiny_config("occ", max_steps=2)
+    cfg2.model.hash_log2_T = 14
+    trainer2 = Trainer(cfg2, dataset, scene=scene)
+    with _pytest.raises(ValueError, match="config drift|shape"):
+        trainer2.load_checkpoint(path, trainer2.init_state())
+
+    # structural drift: different grid type changes the tree structure
+    cfg3 = _tiny_config("ngp", max_steps=2)
+    trainer3 = Trainer(cfg3, dataset, scene=scene)
+    with _pytest.raises(ValueError):
+        trainer3.load_checkpoint(path, trainer3.init_state())
+
+
 def test_debug_mode_invariant_net():
     """debug_mode runs the invariant checks (reference debug assertions:
     ray norms, prob ranges, bitfield consistency) without tripping on a
@@ -201,9 +228,11 @@ def test_mapping_quality_regression():
     """Quality CI threshold (VERDICT round-1 item 3): a 300-step training
     run on the synthetic room must reach fixed NND bounds — the mapping
     metrics the reference optimizes for (score definition:
-    /root/reference/run_optimization.py:123-125).  Bounds are ~2x the
-    measured values (median z3 0.22 m, mean z1 0.16 m, coverage z1 0.05 m)
-    so only a real regression trips them."""
+    /root/reference/run_optimization.py:123-125).  Bounds are ~1.3x the
+    3-seed band maxima measured 2026-08-19 (median z3 0.068-0.166 m,
+    mean z1 0.093-0.104 m, coverage z1 0.041-0.060 m over seeds 21/7/42)
+    so a ~30% regression trips CI while seed noise does not (VERDICT r2
+    item 7)."""
     import time
 
     from virus_nerf_tpu.evaluation import Evaluator
@@ -228,9 +257,9 @@ def test_mapping_quality_regression():
         sensors=("NeRF",),
     )
     nerf = m["NeRF"]
-    assert nerf["nn_median"]["zone3"] < 0.45, nerf["nn_median"]
-    assert nerf["nn_mean"]["zone1"] < 0.45, nerf["nn_mean"]
-    assert nerf["nn_mean_inv"]["zone1"] < 0.15, nerf["nn_mean_inv"]
+    assert nerf["nn_median"]["zone3"] < 0.22, nerf["nn_median"]
+    assert nerf["nn_mean"]["zone1"] < 0.135, nerf["nn_mean"]
+    assert nerf["nn_mean_inv"]["zone1"] < 0.078, nerf["nn_mean_inv"]
 
 
 def test_grouped_chunk_matches_cond_chunk():

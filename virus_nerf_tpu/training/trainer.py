@@ -757,21 +757,69 @@ class Trainer:
     def save_checkpoint(self, state: TrainState, path: str):
         """Save full train state (model + optimizer + grid + step) — richer
         than the reference's weights-only torch.save
-        (training/trainer_base.py:155-168)."""
+        (training/trainer_base.py:155-168).  Leaves are keyed by their tree
+        path so a load against a drifted config fails loudly instead of
+        deserializing into the wrong leaves."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        flat, treedef = jax.tree_util.tree_flatten(state)
-        np.savez(
-            path,
-            *[np.asarray(x) for x in flat],
-            treedef=str(treedef),
-        )
+        flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+        arrays = {
+            f"leaf{i}:{jax.tree_util.keystr(p)}": np.asarray(x)
+            for i, (p, x) in enumerate(flat)
+        }
+        np.savez(path, __treedef__=np.asarray(str(treedef)), **arrays)
         with open(path + ".json", "w") as f:
             json.dump(self.cfg.to_dict(), f, indent=2)
 
     def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
+        """Load a checkpoint, validating the stored tree structure and every
+        leaf's path/shape/dtype against ``template`` (built from the current
+        config) — a config drift between save and load raises ValueError
+        instead of silently loading into the wrong leaves."""
         data = np.load(path, allow_pickle=False)
-        flat = [data[f"arr_{i}"] for i in range(len(data.files) - 1)]
+        flat_t, treedef_p = jax.tree_util.tree_flatten_with_path(template)
         treedef = jax.tree_util.tree_structure(template)
+
+        if "__treedef__" in data.files:
+            stored_td = str(data["__treedef__"])
+            if stored_td != str(treedef_p):
+                raise ValueError(
+                    f"checkpoint treedef mismatch (config drift?):\n"
+                    f"  stored: {stored_td}\n  expected: {treedef_p}"
+                )
+            leaves = []
+            for i, (p, t) in enumerate(flat_t):
+                key = f"leaf{i}:{jax.tree_util.keystr(p)}"
+                if key not in data.files:
+                    raise ValueError(
+                        f"checkpoint missing leaf {key} (config drift?)"
+                    )
+                a = data[key]
+                if tuple(a.shape) != tuple(jnp.shape(t)):
+                    raise ValueError(
+                        f"checkpoint leaf {key}: shape {a.shape} != "
+                        f"expected {jnp.shape(t)} (config drift?)"
+                    )
+                leaves.append(jnp.asarray(a, dtype=jnp.asarray(t).dtype))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        # legacy arr_N layout (pre round-3): positional, but the stored
+        # treedef string still catches structural drift
+        if "treedef" in data.files and str(data["treedef"]) != str(treedef):
+            raise ValueError(
+                "legacy checkpoint treedef mismatch (config drift?)"
+            )
+        flat = [data[f"arr_{i}"] for i in range(len(data.files) - 1)]
+        if len(flat) != len(flat_t):
+            raise ValueError(
+                f"legacy checkpoint has {len(flat)} leaves, expected "
+                f"{len(flat_t)}"
+            )
+        for (p, t), a in zip(flat_t, flat):
+            if tuple(a.shape) != tuple(jnp.shape(t)):
+                raise ValueError(
+                    f"legacy checkpoint leaf {jax.tree_util.keystr(p)}: "
+                    f"shape {a.shape} != expected {jnp.shape(t)}"
+                )
         return jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(x) for x in flat]
         )
