@@ -269,6 +269,15 @@ class TestEvaluatorEndToEnd:
         assert csv_path.exists()
         text = csv_path.read_text()
         assert "NeRF" in text and "nn_mean" in text
+        # per-image render export (reference: training/trainer.py:358-370)
+        renders = tmp_path / "renders"
+        for name in ("rgb_000.png", "rgb_gt_000.png", "depth_000.png"):
+            assert (renders / name).exists(), name
+        from PIL import Image
+
+        im = np.asarray(Image.open(renders / "rgb_000.png"))
+        gt = np.asarray(Image.open(renders / "rgb_gt_000.png"))
+        assert im.shape == gt.shape and im.shape[2] == 3
 
     def test_density_slice(self, setup):
         """Density-slice inference (reference interfereDensityMap parity):

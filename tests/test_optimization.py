@@ -394,3 +394,27 @@ class TestPlots:
 
         lp = plot_metric_landscape(save, objective, res=24)
         assert os.path.exists(lp) and os.path.getsize(lp) > 0
+
+        # best-particle / convergence-variation report (reference:
+        # optimization/plotter_ethz.py:43-66 printed diagnostics)
+        from virus_nerf_tpu.optimization.plots import summarize_pso
+
+        rep = summarize_pso(save, converged_since_n=5)
+        assert rep["best_particle"] in range(5)
+        assert np.isfinite(rep["best_score"])
+        assert set(rep["best_hparams"]) == set(names)
+        assert rep["best_score"] == float(np.nanmin(h["score"]))
+        assert np.isfinite(rep["variation_last_n"]["mean"])
+
+    def test_ablation_bars(self, tmp_path):
+        from virus_nerf_tpu.evaluation.plots import plot_ablation_bars
+
+        p = plot_ablation_bars(
+            [0, 1, 2, 3],
+            [0.11, 0.10, 0.14, 0.23],
+            {"50%": [30, 24, 51, 21], "25%": [83, 50, 59, 70]},
+            path=str(tmp_path / "ablation.png"),
+        )
+        import os
+
+        assert os.path.exists(p) and os.path.getsize(p) > 0

@@ -43,6 +43,19 @@ def main():
                    help="rays per step (throughput-scaling ablation; "
                         "steps are scaled down to keep total rays fixed)")
     p.add_argument("--seed", type=int, default=21)
+    p.add_argument("--save-renders", default=None, metavar="DIR",
+                   help="export per-test-image rgb/depth pngs (reference: "
+                        "training/trainer.py:358-370)")
+    p.add_argument("--eval-occ", default="grid",
+                   choices=["grid", "ones", "both"],
+                   help="occupancy used for TEST rendering: the trained "
+                        "grid (parity), all-ones (diagnostic A/B that "
+                        "isolates grid-coverage holes from the color "
+                        "path), or both (headline metrics from the grid + "
+                        "a color-only A/B row)")
+    p.add_argument("--force-full-hier", action="store_true",
+                   help="disable march probe compaction (_FORCE_FULL_HIER "
+                        "quality A/B validating _PROBE_BUDGET)")
     args = p.parse_args()
 
     import jax
@@ -55,6 +68,11 @@ def main():
     from virus_nerf_tpu.data import make_synthetic_dataset
     from virus_nerf_tpu.evaluation import Evaluator
     from virus_nerf_tpu.training import Trainer
+
+    if args.force_full_hier:
+        from virus_nerf_tpu.ops import ray_march as _rm
+
+        _rm._FORCE_FULL_HIER = True
 
     cfg = Config()
     cfg.seed = args.seed
@@ -111,11 +129,27 @@ def main():
     rays_per_sec = steps * cfg.training.batch_size / train_s
 
     ev = Evaluator(trainer.model, cfg, test_ds, scene, img_wh=info["img_wh"])
+    eval_occ = (
+        jnp.ones_like(state.grid.occ_bool)
+        if args.eval_occ == "ones"
+        else state.grid.occ_bool
+    )
     metrics = ev.evaluate(
-        state.params, state.grid.occ_bool,
+        state.params, eval_occ,
         depth_img_idxs=np.arange(test_ds.n_images),
         sensors=("GT", "NeRF", "ToF", "USS"),
+        save_dir=args.save_renders,
     )
+    color_ones = None
+    if args.eval_occ == "both":
+        save2 = (
+            os.path.join(args.save_renders, "renders_ones")
+            if args.save_renders else None
+        )
+        color_ones = ev.evaluate_color(
+            state.params, jnp.ones_like(state.grid.occ_bool),
+            np.arange(test_ds.n_images), save_dir=save2,
+        )
 
     out = {
         "hash_variant": args.hash_variant,
@@ -129,7 +163,12 @@ def main():
         "train_rays_per_sec": round(rays_per_sec, 1),
         "psnr": float(metrics["NeRF"]["psnr"]),
         "ssim": float(metrics["NeRF"]["ssim"]),
+        "eval_occ": args.eval_occ,
+        "force_full_hier": bool(args.force_full_hier),
     }
+    if color_ones is not None:
+        out["psnr_occ_ones"] = float(color_ones["psnr"])
+        out["ssim_occ_ones"] = float(color_ones["ssim"])
     for sensor in ("NeRF", "ToF", "USS"):
         if sensor not in metrics:
             continue

@@ -113,15 +113,21 @@ class Evaluator:
 
     # ----------------------------------------------------------- color eval
     def evaluate_color(
-        self, params, occ_bool, img_idxs: np.ndarray
+        self,
+        params,
+        occ_bool,
+        img_idxs: np.ndarray,
+        save_dir: Optional[str] = None,
     ) -> Dict[str, float]:
-        """Full-image renders -> PSNR/SSIM
-        (reference: training/trainer.py:304-372)."""
+        """Full-image renders -> PSNR/SSIM; with ``save_dir``, also writes
+        per-image ``rgb_###.png`` / ``rgb_gt_###.png`` / ``depth_###.png``
+        (reference: training/trainer.py:304-372, image export :358-370 with
+        the depth colormap of modules/utils.py:223-228)."""
         ds = self.dataset
         if self.img_wh is None:
             raise ValueError("Evaluator needs img_wh for color evaluation")
         W, H = self.img_wh
-        rgbs, gts = [], []
+        rgbs, gts, depths = [], [], []
         for i in np.asarray(img_idxs, int):
             cam = int(np.asarray(ds.cam_idx[i]))
             dirs_cam = np.asarray(ds.directions[cam])  # (H*W, 3)
@@ -131,13 +137,45 @@ class Evaluator:
             out = self.render_batched(params, occ_bool, rays_o, rays_d)
             rgbs.append(out["rgb"].reshape(H, W, 3))
             gts.append(np.asarray(ds.rgbs[i]).reshape(H, W, 3))
+            depths.append(out["depth"].reshape(H, W))
         rgbs, gts = np.stack(rgbs), np.stack(gts)
+        depths = np.stack(depths)
+        if save_dir:
+            self.save_render_images(
+                save_dir, np.asarray(img_idxs, int), rgbs, gts, depths
+            )
         return {
             "psnr": M.psnr(rgbs, gts),
             "ssim": M.ssim(rgbs, gts),
             "imgs": rgbs,
             "imgs_gt": gts,
+            "depths": depths,
         }
+
+    @staticmethod
+    def save_render_images(save_dir, img_idxs, rgbs, gts, depths):
+        """Write rendered/GT rgb + colormapped depth pngs per test image
+        (reference: training/trainer.py:358-370; colormap analogue of
+        modules/utils.py:223-228 depth2img)."""
+        import matplotlib
+        from PIL import Image
+
+        os.makedirs(save_dir, exist_ok=True)
+        d_max = float(np.nanmax(depths)) if np.isfinite(depths).any() else 1.0
+        d_max = d_max if d_max > 0 else 1.0
+        for j, i in enumerate(img_idxs):
+            Image.fromarray(
+                (np.clip(rgbs[j], 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(save_dir, f"rgb_{i:03d}.png"))
+            Image.fromarray(
+                (np.clip(gts[j], 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(save_dir, f"rgb_gt_{i:03d}.png"))
+            dn = np.clip(depths[j] / d_max, 0.0, 1.0)
+            cmap = matplotlib.colormaps["turbo"]
+            dimg = (cmap(dn)[..., :3] * 255).astype(np.uint8)
+            Image.fromarray(dimg).save(
+                os.path.join(save_dir, f"depth_{i:03d}.png")
+            )
 
     # --------------------------------------------------------- density slice
     def density_slice(
@@ -520,7 +558,10 @@ class Evaluator:
                 if s in ("GT", "NeRF") or s in ds.depths
             ]
 
-        color = self.evaluate_color(params, occ_bool, color_img_idxs)
+        color = self.evaluate_color(
+            params, occ_bool, color_img_idxs,
+            save_dir=os.path.join(save_dir, "renders") if save_dir else None,
+        )
         metrics_dict, data_dict = self.evaluate_depth(
             params, occ_bool, depth_img_idxs, sensors
         )

@@ -376,3 +376,48 @@ def plot_pointclouds(
         fig.savefig(path, dpi=120)
     plt.close(fig)
     return xyz
+
+
+def plot_ablation_bars(
+    x_values: Sequence[float],
+    mnn: Sequence[float],
+    convergence: Dict[str, Sequence[float]],
+    x_label: str = "Angular error [degree]",
+    path: Optional[str] = None,
+):
+    """Two-panel ablation summary: mean NND bars per ablated value +
+    grouped convergence-time bars (the generic form of the reference's
+    ToF-calibration-error figure, plotting/datasets/plot_calibration_error.py:5-31,
+    which hard-codes one experiment's numbers).
+
+    Args:
+        x_values: ablated parameter values (bar group labels).
+        mnn: mean NND per value.
+        convergence: {legend_label: times} per convergence threshold.
+        path: output png (omit to skip saving; the figure is returned).
+    """
+    fig, axes = plt.subplots(ncols=2, nrows=1, figsize=(12, 6))
+    x = np.arange(len(x_values))
+
+    ax = axes[0]
+    ax.bar(x, mnn, color="tab:blue", width=0.4)
+    ax.set_xlabel(x_label)
+    ax.set_ylabel("Mean NND [m]")
+    ax.set_xticks(x, [str(v) for v in x_values])
+
+    ax = axes[1]
+    n = max(len(convergence), 1)
+    w = 0.8 / n
+    for j, (label, times) in enumerate(convergence.items()):
+        ax.bar(x + (j - (n - 1) / 2) * w, times, width=w, label=label)
+    ax.set_xlabel(x_label)
+    ax.set_ylabel("Convergence time [s]")
+    ax.set_xticks(x, [str(v) for v in x_values])
+    ax.legend()
+
+    fig.tight_layout()
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

@@ -66,12 +66,18 @@ def ngp_grid_update(
     grid_size: int,
     scale: float,
     decay: float = 0.95,
+    rebuild_bitfield: bool = True,
 ) -> NGPGridState:
     """One grid update (reference: modules/ngp_grid.py:110-152).
 
     warmup=True evaluates every cell; otherwise gs^3/4 uniform + gs^3/4
     occupied-sampled cells per cascade (modules/ngp_grid.py:36-64).
     ``warmup`` is static — trainers jit two variants.
+
+    ``rebuild_bitfield=False`` leaves the packed Morton bitfield stale (the
+    TPU march reads ``occ_bool`` directly and the cartesian->Morton permute
+    is a 2M-row gather — same design as the VIRUS grid's lazy bitfield);
+    call :func:`ngp_grid_refresh_bitfield` before exporting it.
     """
     n = grid_size**3
     grid = state.density_grid
@@ -112,12 +118,27 @@ def ngp_grid_update(
     threshold = jnp.minimum(mean_density, density_threshold)
 
     occ_bool = occ_bool_from_grid(new_grid, threshold)
-    bitfield = bitfield_from_grid(new_grid, threshold, grid_size)
+    bitfield = (
+        bitfield_from_grid(new_grid, threshold, grid_size)
+        if rebuild_bitfield
+        else state.bitfield
+    )
     return NGPGridState(
         density_grid=new_grid,
         occ_bool=occ_bool,
         bitfield=bitfield,
         threshold=threshold,
+    )
+
+
+def ngp_grid_refresh_bitfield(state: NGPGridState, grid_size: int) -> NGPGridState:
+    """Recompute the packed Morton bitfield from the density grid at the
+    current threshold — call before reading ``state.bitfield`` when the
+    update loop ran with ``rebuild_bitfield=False``."""
+    return state._replace(
+        bitfield=bitfield_from_grid(
+            state.density_grid, state.threshold, grid_size
+        )
     )
 
 

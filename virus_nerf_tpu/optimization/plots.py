@@ -347,3 +347,51 @@ def plot_all(save_dir: str, **kwargs) -> List[str]:
             if k in ("score_min", "score_max", "converged_since_n")
         }),
     ]
+
+
+def summarize_pso(
+    save_dir: str,
+    converged_since_n: int = 10,
+) -> Dict[str, object]:
+    """Best-particle report + swarm-convergence diagnostic (the printed
+    analyses of the reference's PlotterEthz.plot,
+    optimization/plotter_ethz.py:43-66): the best particle's final
+    hyper-parameters and score, plus the maximal normalized-position
+    variation over the last ``converged_since_n`` evaluations per particle
+    (mean/min/max over the swarm) — near-zero variation means the swarm
+    has converged."""
+    h = load_history(save_dir)
+    names = hparam_names(h)
+    pos_n = _normalized_positions(h, names)
+
+    best = {}
+    variations = []
+    best_particle, best_score = None, np.inf
+    for p, idx in _per_particle(h):
+        sc = h["score"][idx]
+        ok = ~np.isnan(sc)
+        if not ok.any():
+            continue
+        pbest = float(np.nanmin(sc))
+        if pbest < best_score:
+            best_score = pbest
+            i = idx[int(np.nanargmin(sc))]
+            best_particle = p
+            best = {n: float(h[n][i]) for n in names}
+        tail = pos_n[idx][-converged_since_n:]
+        r = np.linalg.norm(tail, axis=1)
+        if r.size:
+            variations.append(float(np.nanmax(r) - np.nanmin(r)))
+
+    out = {
+        "best_particle": best_particle,
+        "best_score": float(best_score),
+        "best_hparams": best,
+        "variation_last_n": {
+            "mean": float(np.mean(variations)) if variations else np.nan,
+            "min": float(np.min(variations)) if variations else np.nan,
+            "max": float(np.max(variations)) if variations else np.nan,
+            "n": converged_since_n,
+        },
+    }
+    return out

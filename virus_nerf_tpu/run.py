@@ -116,11 +116,32 @@ def main(argv=None):
     p.add_argument("--config", default=None, help="experiment JSON")
     p.add_argument("--save-dir", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--override", action="append", default=[], metavar="GROUP.KEY=VALUE",
+        help="config override, e.g. ethz.dataset_dir=/data/ethz "
+             "(repeatable; values parsed as JSON when possible)",
+    )
     args = p.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
     if args.seed is not None:
         cfg.seed = args.seed
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        group, _, field = key.partition(".")
+        import json as _json
+
+        try:
+            val = _json.loads(val)
+        except (ValueError, _json.JSONDecodeError):
+            pass  # keep as string
+        if field and not hasattr(cfg, group):
+            raise SystemExit(f"unknown config group: {group}")
+        tgt = getattr(cfg, group) if field else cfg
+        name = field or group
+        if not hasattr(tgt, name):
+            raise SystemExit(f"unknown config field: {key}")
+        setattr(tgt, name, val)
     save_dir = args.save_dir or cfg.make_save_dir()
     metrics = train_and_evaluate(cfg, save_dir=save_dir)
     nerf = metrics.get("NeRF", {})

@@ -380,12 +380,15 @@ class Trainer:
 
         return occ_update
 
-    def _make_ngp_update(self, warmup: bool):
+    def _make_ngp_body(self, warmup: bool):
+        """Unjitted NGP grid-update body (reference: modules/ngp_grid.py
+        :110-152).  The bitfield stays stale in-train (lazy Morton rebuild,
+        same design as the VIRUS grid) — refresh via
+        ``ngp_grid_refresh_bitfield`` at export time."""
         model = self.model
         density_threshold = 0.01 * MAX_SAMPLES / 3**0.5
         # reference: training/trainer.py:110
 
-        @jax.jit
         def ngp_update(state: TrainState, dataset: DeviceDataset, elapse_time):
             key, k = jax.random.split(state.key)
             density_fn = lambda x: model.density(state.params, x)
@@ -393,11 +396,14 @@ class Trainer:
                 state.grid, density_fn, k, warmup=warmup,
                 density_threshold=density_threshold,
                 cascades=model.cascades, grid_size=model.grid_size,
-                scale=model.scale,
+                scale=model.scale, rebuild_bitfield=False,
             )
             return state._replace(grid=grid, key=key)
 
         return ngp_update
+
+    def _make_ngp_update(self, warmup: bool):
+        return jax.jit(self._make_ngp_body(warmup))
 
     def _make_train_chunk(self, chunk_steps: int,
                           entry_step_aligned: bool = True):
@@ -409,8 +415,9 @@ class Trainer:
         (training/trainer.py:95-160): a single device program per chunk
         instead of per step, which removes all per-step host round trips —
         decisive on a remote-tunnel backend where every dispatch pays
-        per-buffer HTTP latency.  Only the "occ" grid fits (the NGP grid's
-        warmup changes shapes; it stays on the per-step path).
+        per-buffer HTTP latency.  Both grid types fuse: the VIRUS grid
+        always, the NGP grid post-warmup (its warmup pass evaluates every
+        cell — different shapes — and stays on the per-step path).
         """
         return jax.jit(
             self._make_chunk_body(chunk_steps,
@@ -425,7 +432,12 @@ class Trainer:
         data-parallel mesh (parallel/data_parallel.py), so the multi-chip
         path runs the IDENTICAL training semantics plus ICI collectives."""
         train_body = self._make_train_body(axis_name, n_shards)
-        occ_body = self._make_occ_body(axis_name, n_shards)
+        if self.cfg.model.grid_type == "occ":
+            occ_body = self._make_occ_body(axis_name, n_shards)
+        else:
+            # post-warmup NGP update: static shapes, fuses like the VIRUS
+            # grid (warmup stays on the per-step path — see train())
+            occ_body = self._make_ngp_body(warmup=False)
         interval = self.grid_update_interval
         # When the chunk is a whole number of update intervals AND the host
         # loop keeps chunk entry steps interval-aligned (it does: training
@@ -500,7 +512,19 @@ class Trainer:
         if cfg.model.grid_type == "occ":
             state, steps_done = self._train_fused(state, tic)
         else:
-            state, steps_done = self._train_stepwise(state, tic)
+            # NGP grid: per-step only while the warmup pass (full-grid
+            # evaluation, different shapes) can still fire; once past the
+            # first interval-aligned post-warmup step, the same scan-fused
+            # chunk loop as the occ grid takes over (VERDICT r2 item 8)
+            interval = self.grid_update_interval
+            w = cfg.ngp_grid.warmup_steps
+            switch = min(cfg.training.max_steps, -(-w // interval) * interval)
+            state, steps_done = self._train_stepwise(state, tic, until=switch)
+            if (
+                steps_done < cfg.training.max_steps
+                and time.time() - tic <= cfg.training.max_time
+            ):
+                state, steps_done = self._train_fused(state, tic)
 
         jax.block_until_ready(state.params)
         self.logger.info(
@@ -517,13 +541,14 @@ class Trainer:
         test images fills the ``mnn`` column
         (reference: training/trainer.py:274-302)."""
         cfg = self.cfg
+        start0 = int(state.step)
         chunk = max(1, min(cfg.evaluation.eval_every_n_steps,
-                           cfg.training.max_steps))
+                           cfg.training.max_steps - start0))
         # round the chunk DOWN to a whole number of grid-update intervals
         # when possible: the cond-free grouped chunk body needs it (and the
         # host loop then keeps every chunk entry step aligned)
         interval = self.grid_update_interval
-        entry_aligned = int(state.step) % interval == 0
+        entry_aligned = start0 % interval == 0
         if entry_aligned and chunk >= interval:
             chunk -= chunk % interval
         def get_chunk(n):
@@ -533,7 +558,7 @@ class Trainer:
                         entry_step_aligned=entry_aligned),
             )
 
-        step = 0
+        step = start0
         profiled = False
         dt_est = 0.0  # measured per-step duration for real_time_simulation
         # Pure-speed path (no per-chunk depth eval, no debug invariants):
@@ -555,7 +580,7 @@ class Trainer:
             p_step, keys, stacked, n, p_tic = p
             vals = np.asarray(stacked)  # ONE transfer for all metrics
             m = {k: vals[i] for i, k in enumerate(keys)}
-            if p_step > 0:  # first chunk's wall time is dominated by compile
+            if p_step > start0:  # first chunk's wall time is compile-bound
                 dt_est = max(time.time() - p_tic, 0.0) / n
             mnn = self._intermediate_eval(state, time.time() - tic)
             self._log_chunk(p_step, m, tic, mnn)
@@ -656,13 +681,22 @@ class Trainer:
                 f"(range [{norms.min()}, {norms.max()}])"
             )
 
-    def _train_stepwise(self, state: TrainState, tic: float):
-        """Per-step loop for the NGP grid (its warmup pass changes shapes,
-        reference: modules/ngp_grid.py:36-64)."""
+    def _train_stepwise(self, state: TrainState, tic: float,
+                        until: Optional[int] = None):
+        """Per-step loop for the NGP grid warmup phase (its warmup pass
+        changes shapes, reference: modules/ngp_grid.py:36-64).  ``until``
+        bounds the stepwise phase; train() then continues on the fused
+        chunk loop."""
         cfg = self.cfg
+        end = (
+            cfg.training.max_steps
+            if until is None
+            else min(until, cfg.training.max_steps)
+        )
         train_step = self._get("train_step", self._make_train_step)
-        step = 0
-        for step in range(cfg.training.max_steps):
+        start = int(state.step)
+        step = start - 1
+        for step in range(start, end):
             elapse = jnp.float32(time.time() - tic)
             if step % self.grid_update_interval == 0:
                 warmup = step < cfg.ngp_grid.warmup_steps
