@@ -59,18 +59,20 @@ def _default_boxes() -> Tuple[np.ndarray, np.ndarray]:
     return np.stack([mins, maxs], axis=1), colors
 
 
-def _raycast(rays_o, rays_d, boxes, box_colors):
+def _raycast(rays_o, rays_d, boxes, box_colors, room_min=None, room_max=None):
     """Exact depth + color of rays from inside the room.
 
     Depth = min(room-wall exit, nearest obstacle entry).
     Returns depth (N,), rgb (N, 3).
     """
+    room_min = _ROOM_MIN if room_min is None else np.asarray(room_min)
+    room_max = _ROOM_MAX if room_max is None else np.asarray(room_max)
     n = rays_o.shape[0]
     inv = 1.0 / np.where(np.abs(rays_d) < 1e-12, 1e-12, rays_d)
 
     # room walls: exit distance of the room box
-    t_lo = (_ROOM_MIN - rays_o) * inv
-    t_hi = (_ROOM_MAX - rays_o) * inv
+    t_lo = (room_min - rays_o) * inv
+    t_hi = (room_max - rays_o) * inv
     t_exit_per_axis = np.maximum(t_lo, t_hi)  # (N, 3)
     axis = np.argmin(t_exit_per_axis, axis=1)
     depth = t_exit_per_axis[np.arange(n), axis]
@@ -91,11 +93,14 @@ def _raycast(rays_o, rays_d, boxes, box_colors):
     return depth, rgb
 
 
-def _sample_surfaces(rng, boxes: np.ndarray, n_points: int) -> np.ndarray:
+def _sample_surfaces(rng, boxes: np.ndarray, n_points: int,
+                     room_min=None, room_max=None) -> np.ndarray:
     """Sample points uniformly by area on the room walls + box faces —
     an exact dense 'GT map' of the analytic scene."""
+    room_min = _ROOM_MIN if room_min is None else np.asarray(room_min)
+    room_max = _ROOM_MAX if room_max is None else np.asarray(room_max)
     aabbs = np.concatenate(
-        [np.stack([_ROOM_MIN, _ROOM_MAX])[None], boxes], axis=0
+        [np.stack([room_min, room_max])[None], boxes], axis=0
     )  # (B, 2, 3)
     faces = []  # (axis, side, aabb_idx, area)
     for b in range(aabbs.shape[0]):
