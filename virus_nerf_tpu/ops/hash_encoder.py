@@ -212,6 +212,21 @@ def hash_base_rows(spec: HashGridSpec, xyz):
     return rows, w
 
 
+def _same_size_level_groups(spec: HashGridSpec):
+    """Contiguous runs of levels sharing (size, stride_y, stride_z) — the
+    hashed levels all share them (stride = PRIME % size), so the big group
+    batches into one tensor.  Sizes are nondecreasing, so equal-size levels
+    are always contiguous in the table."""
+    groups = []  # (lvl_start, lvls list)
+    for lvl in range(spec.levels):
+        key = (spec.sizes[lvl], spec.stride_y[lvl], spec.stride_z[lvl])
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(lvl)
+        else:
+            groups.append((key, [lvl]))
+    return [(k[0], k[1], k[2], ls) for k, ls in groups]
+
+
 def build_wide_slabs(table, spec: HashGridSpec):
     """Derive per-level widened slabs W_l (size_l, 8*F): row r holds the
     features of the 8 corner rows {r + o_k mod size_l}.
@@ -219,7 +234,10 @@ def build_wide_slabs(table, spec: HashGridSpec):
     Eight rolls of each level slab — pure bandwidth (~0.5 GB for the
     full-size table), rebuilt inside the step whenever the table changed.
     Kept as a list (not one concatenated array): per-level gathers measure
-    ~7x faster than one global gather of the same rows on TPU.
+    ~7x faster than one global gather of the same rows on TPU, and a
+    batched (G, s, 8F) group build measured ~1.5% SLOWER end to end — the
+    per-level `wide[j]` slices feeding the gathers re-materialize the slabs
+    (tools/PERF_NOTES.md r3).
     """
     F = spec.feat_dim
     # 2-D tables pass through untouched; flat ones (legacy/test callers)
@@ -433,23 +451,29 @@ def _batched_segment_rows_sum(vals, rows_local, n_rows: int):
 
 
 def _fold_wide(dt, sy: int, sz: int, s: int):
-    """Fold a row-major widened gradient (s, 8F) -> (s, F):
+    """Fold a row-major widened gradient (..., s, 8F) -> (..., s, F):
     dT[r] += dW[(r - o_k) mod s, k], inverting the build's doubling tree
     (3 halve-by-roll steps, not 7 individual rolls — each padded 2-D roll
-    costs one full-tile pass)."""
+    costs one full-tile pass).  Batched over any leading axes (same-size
+    level groups fold as ONE tensor)."""
     for stride in (sz, sy, 1):
-        half = dt.shape[1] // 2
-        dt = dt[:, :half] + jnp.roll(dt[:, half:], int(stride % s), axis=0)
+        half = dt.shape[-1] // 2
+        dt = dt[..., :half] + jnp.roll(
+            dt[..., half:], int(stride % s), axis=-2
+        )
     return dt
 
 
 def _fold_wide_t(dt, sy: int, sz: int, s: int):
-    """Fold a TRANSPOSED widened gradient (8F, s) -> (F, s) — same doubling
-    tree, but the rolls ride the lane axis of a lane-dense array instead of
-    the sublane axis of an 8x lane-padded one."""
+    """Fold a TRANSPOSED widened gradient (..., 8F, s) -> (..., F, s) —
+    same doubling tree, but the rolls ride the lane axis of a lane-dense
+    array instead of the sublane axis of an 8x lane-padded one.  Batched
+    over any leading axes."""
     for stride in (sz, sy, 1):
-        half = dt.shape[0] // 2
-        dt = dt[:half] + jnp.roll(dt[half:], int(stride % s), axis=1)
+        half = dt.shape[-2] // 2
+        dt = dt[..., :half, :] + jnp.roll(
+            dt[..., half:, :], int(stride % s), axis=-1
+        )
     return dt
 
 
@@ -471,44 +495,38 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
 
     local = rows - jnp.asarray(spec.offsets, jnp.int32)[:, None]  # (L, N)
 
-    # group levels by table size so each group reduces as ONE batched op;
+    # group CONTIGUOUS same-(size, strides) level runs (the hashed levels
+    # share all three) so each group reduces AND folds as ONE batched op;
     # the key sort batches across ALL levels regardless of size (sorting is
     # per-row independent) — one (L, N) sort instead of one per group
-    groups = {}
-    for lvl in range(spec.levels):
-        groups.setdefault(spec.sizes[lvl], []).append(lvl)
-
     use_kernel = tpu_kernels_enabled()
     pi = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32), (spec.levels, n)
     )
     sk_all, sp_all = jax.lax.sort([local, pi], dimension=1, num_keys=1)
 
-    slabs = [None] * spec.levels  # per-level folded (s, F) grads
-    for size, lvls in groups.items():
+    blocks = []  # per-group (G*size, F) grad blocks, level order
+    for size, sy, sz, lvls in _same_size_level_groups(spec):
         idx = jnp.asarray(lvls, jnp.int32)
+        G = len(lvls)
         if use_kernel and kernel_applicable(size, 8 * F):
             # windowed MXU segment-sum kernel, transposed layout end to end
             # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
-            # lane-roll fold, one small final transpose per level
+            # ONE batched lane-roll fold for the whole group, one
+            # (G, F, size) -> (G, size, F) transpose
             sv = jnp.stack(
                 [jnp.take(gv_level(lvl), sp_all[lvl], axis=0) for lvl in lvls]
             )
             dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
-            for j, lvl in enumerate(lvls):
-                ft = _fold_wide_t(
-                    dwt[j], spec.stride_y[lvl], spec.stride_z[lvl], size
-                )  # (F, size)
-                slabs[lvl] = ft.T
+            ft = _fold_wide_t(dwt, sy, sz, size)  # (G, F, size)
+            blocks.append(ft.transpose(0, 2, 1).reshape(G * size, F))
         else:
             gv_g = jnp.stack([gv_level(lvl) for lvl in lvls])
             dws = _batched_segment_rows_sum(gv_g, local[idx], size)
-            for j, lvl in enumerate(lvls):
-                slabs[lvl] = _fold_wide(
-                    dws[j], spec.stride_y[lvl], spec.stride_z[lvl], size
-                )
+            folded = _fold_wide(dws, sy, sz, size)  # (G, size, F)
+            blocks.append(folded.reshape(G * size, F))
 
-    grad_table = jnp.concatenate(slabs, axis=0)  # (total_rows, F)
+    grad_table = jnp.concatenate(blocks, axis=0)  # (total_rows, F)
     if table_carrier.ndim == 1:  # flat-table caller
         grad_table = grad_table.reshape(-1)
     return (grad_table.astype(table_dtype), None)
