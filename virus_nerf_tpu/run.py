@@ -123,6 +123,14 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    # persistent compile cache: the scan-fused train chunk is a large XLA
+    # program; repeated CLI runs (ablations, PSO particles) reuse the
+    # serialized executable instead of recompiling for minutes
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     cfg = load_config(args.config) if args.config else Config()
     if args.seed is not None:
         cfg.seed = args.seed
