@@ -218,6 +218,82 @@ def test_super_coarse_preprobe_is_output_invariant(rng, monkeypatch):
         np.asarray(masked.deltas), np.asarray(unmasked.deltas))
 
 
+def test_group_payload_table_oracle(rng):
+    """build_group_payload row ``a`` must pack the exact occupancy of fine
+    cells [4a, 4a+8) per axis under the documented (d, m) bit layout, with
+    out-of-grid cells reading 0 (edge anchors padded, not wrapped)."""
+    from virus_nerf_tpu.ops import ray_march as rm
+
+    gs = 16
+    occ = rng.random((1, gs**3)) < 0.4
+    table = np.asarray(rm.build_group_payload(jnp.asarray(occ), gs))
+    g4 = gs // 4
+    assert table.shape == (g4**3, 16)
+    occ3 = occ.reshape(gs, gs, gs)
+    anchors = [(0, 0, 0), (g4 - 1, g4 - 1, g4 - 1), (1, 2, 3),
+               (g4 - 1, 0, 2)]
+    for ax, ay, az in anchors:
+        row = table[(ax * g4 + ay) * g4 + az]
+        for lx in range(8):
+            for ly in range(8):
+                for lz in range(8):
+                    X, Y, Z = 4 * ax + lx, 4 * ay + ly, 4 * az + lz
+                    want = (
+                        bool(occ3[X, Y, Z])
+                        if X < gs and Y < gs and Z < gs
+                        else False
+                    )
+                    d = (lx >> 2) * 4 + (ly >> 2) * 2 + (lz >> 2)
+                    m = (lx & 3) * 16 + (ly & 3) * 4 + (lz & 3)
+                    got = bool(
+                        (int(row[d * 2 + (m >> 5)]) >> (m & 31)) & 1
+                    )
+                    assert got == want, (ax, ay, az, lx, ly, lz)
+
+
+def test_payload_matches_exact_with_overflow(rng, monkeypatch):
+    """The payload march must be BIT-identical to the exact per-candidate
+    path — including rays that overflow the budget and subsample at
+    candidate granularity (unlike the hierarchical path's probe-granular
+    superset subsampling, the payload path has no approximation)."""
+    from virus_nerf_tpu.ops import ray_march as rm
+
+    grid_size, n_rays, S = 128, 48, 32  # small budget: overflow guaranteed
+    occ = rng.random((1, grid_size**3)) < 0.25
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 0.4
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), 0.5)
+    args = (jnp.asarray(o), jnp.asarray(d), hits, jnp.asarray(occ),
+            jnp.asarray(noise))
+    kw = dict(cascades=1, grid_size=grid_size, scale=0.5,
+              exp_step_factor=0.0, max_samples=S, n_candidates=1024)
+
+    calls = []
+    real_build = rm.build_group_payload
+    monkeypatch.setattr(
+        rm, "build_group_payload",
+        lambda *a: (calls.append(1), real_build(*a))[1],
+    )
+    pay = march_rays_train(*args, **kw)
+    assert calls, "payload path was not taken (gate vacuous)"
+
+    monkeypatch.setattr(rm, "_DISABLE_PAYLOAD", True)
+    monkeypatch.setattr(rm, "_COARSE_STRIDE", 1)  # hier off -> exact path
+    exact = march_rays_train(*args, **kw)
+    assert int(jnp.max(exact.n_samples)) == S  # overflow actually exercised
+
+    np.testing.assert_array_equal(
+        np.asarray(pay.n_samples), np.asarray(exact.n_samples))
+    np.testing.assert_array_equal(
+        np.asarray(pay.valid), np.asarray(exact.valid))
+    np.testing.assert_array_equal(
+        np.asarray(pay.ts), np.asarray(exact.ts))
+    np.testing.assert_array_equal(
+        np.asarray(pay.deltas), np.asarray(exact.deltas))
+
+
 def test_march_resolution_knob(rng):
     """march_resolution=512 doubles dt (sqrt(3)/512) and must produce
     exactly the in-range occupied candidates of the halved lattice — checked

@@ -229,9 +229,13 @@ def test_mapping_quality_regression():
     run on the synthetic room must reach fixed NND bounds — the mapping
     metrics the reference optimizes for (score definition:
     /root/reference/run_optimization.py:123-125).  Bounds are ~1.3x the
-    3-seed band maxima measured 2026-08-19 (median z3 0.068-0.166 m,
-    mean z1 0.093-0.104 m, coverage z1 0.041-0.060 m over seeds 21/7/42)
-    so a ~30% regression trips CI while seed noise does not (VERDICT r2
+    3-seed band maxima measured 2026-08-19 UNDER THE CONFTEST ENVIRONMENT
+    (8 virtual CPU devices — device count changes XLA reduction
+    partitioning and this chaotic 300-step run is sensitive to it; a band
+    measured single-device reads ~30% lower and mis-calibrates the
+    bounds): median z3 0.087-0.188 m, mean z1 0.109-0.148 m, coverage
+    (mean_inv) z1 0.047-0.072 m over seeds 21/7/42, payload-march path.
+    A ~30% regression trips CI while seed noise does not (VERDICT r2
     item 7)."""
     import time
 
@@ -257,9 +261,9 @@ def test_mapping_quality_regression():
         sensors=("NeRF",),
     )
     nerf = m["NeRF"]
-    assert nerf["nn_median"]["zone3"] < 0.22, nerf["nn_median"]
-    assert nerf["nn_mean"]["zone1"] < 0.135, nerf["nn_mean"]
-    assert nerf["nn_mean_inv"]["zone1"] < 0.078, nerf["nn_mean_inv"]
+    assert nerf["nn_median"]["zone3"] < 0.245, nerf["nn_median"]
+    assert nerf["nn_mean"]["zone1"] < 0.19, nerf["nn_mean"]
+    assert nerf["nn_mean_inv"]["zone1"] < 0.094, nerf["nn_mean_inv"]
 
 
 def test_grouped_chunk_matches_cond_chunk():
