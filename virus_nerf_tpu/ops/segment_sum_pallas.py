@@ -40,23 +40,33 @@ import jax.numpy as jnp
 
 from virus_nerf_tpu.ops.common import tpu_kernels_enabled
 
-_B = 2048  # output rows per grid step
-_W = 1024  # stream samples per DMA chunk
-_SUB = 128  # compute sub-block within a chunk (swept on v5e: (B, SUB) of
-# (2048,128) 13.4 ms < (2048,256) 14.4 < (4096,128) 15.3 < (4096,256) 15.4
-# for the 10-level bench group — finer skip granularity wins, bigger output
-# blocks lose to the per-block DMA-chunk minimum)
-_NSUB = _W // _SUB
+import os as _os
+
+_B = int(_os.environ.get("VNERF_WSS_B", "2048"))  # output rows per grid step
+_W = int(_os.environ.get("VNERF_WSS_W", "1024"))  # stream samples / DMA chunk
+_SUB = int(_os.environ.get("VNERF_WSS_SUB", "128"))  # compute sub-block
+# within a chunk (swept on v5e: (B, SUB) of (2048,128) 13.4 ms <
+# (2048,256) 14.4 < (4096,128) 15.3 < (4096,256) 15.4 for the 10-level
+# bench group — finer skip granularity wins, bigger output blocks lose to
+# the per-block DMA-chunk minimum)
+# Small tables (few output blocks) walk nearly the WHOLE stream per block:
+# their cost is per-chunk overhead (~1.5-2.5 us of semaphores + branch
+# machinery), so they take a much larger DMA chunk — the block-boundary
+# waste that rules W out for big tables (avg block range ~K*B/n_rows
+# samples) is absent when every block's range IS the stream.
+_W_SMALL = int(_os.environ.get("VNERF_WSS_WSMALL", "1024"))
+_SMALL_BLOCKS = int(_os.environ.get("VNERF_WSS_SMALL_BLOCKS", "16"))
 
 
 def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
-              acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int):
+              acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int,
+              B: int, W: int, SUB: int):
     """Cross-block-pipelined DMA + sub-block-skipped MXU compute.
 
-    DMA granularity stays at the aligned _W-sample chunk (Mosaic dynamic
+    DMA granularity stays at the aligned W-sample chunk (Mosaic dynamic
     slices must be tile-aligned; rounding the window start down is safe —
     leading samples belong to earlier blocks and match no one-hot row).
-    Compute runs per _SUB-sample sub-block and SKIPS sub-blocks outside the
+    Compute runs per SUB-sample sub-block and SKIPS sub-blocks outside the
     block's [start, end) key range: the average block has ~K*B/R samples,
     so most of a full chunk would be one-hot/matmul padding.
 
@@ -75,25 +85,25 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     b = pl.program_id(1)
     p0 = starts_ref[g, b]
     p1 = starts_ref[g, b + 1]
-    c0 = (p0 // _W) * _W
+    c0 = (p0 // W) * W
     # EMPTY blocks (p0 == p1, common on skewed march keys) must see
     # n_chunks == 0: the predecessor's prefetch guard (np1 > np0) skips
     # them, so a wait here would hang on a never-started copy
-    n_chunks = jnp.where(p1 > p0, (p1 - c0 + _W - 1) // _W, 0)
+    n_chunks = jnp.where(p1 > p0, (p1 - c0 + W - 1) // W, 0)
 
     def copies(gg, c0x, c, slot):
-        off = pl.multiple_of(c0x + c * _W, _W)
+        off = pl.multiple_of(c0x + c * W, W)
         # keys live in ONE flat vector: a (G, K) int32 array cannot be
         # sliced to a single row (sublane tile is 8)
-        koff = pl.multiple_of(gg * Kp + off, _W)
+        koff = pl.multiple_of(gg * Kp + off, W)
         return (
             pltpu.make_async_copy(
-                sk_hbm.at[pl.ds(koff, _W)],
-                sk_vmem.at[pl.ds(slot * _W, _W)],
+                sk_hbm.at[pl.ds(koff, W)],
+                sk_vmem.at[pl.ds(slot * W, W)],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                sv_hbm.at[gg, pl.ds(off, _W)], sv_vmem.at[slot],
+                sv_hbm.at[gg, pl.ds(off, W)], sv_vmem.at[slot],
                 sems.at[slot, 1],
             ),
         )
@@ -116,7 +126,7 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     def _():
         np0 = starts_ref[ng, nbb]
         np1 = starts_ref[ng, nbb + 1]
-        nc0 = (np0 // _W) * _W
+        nc0 = (np0 // W) * W
 
         @pl.when(np1 > np0)
         def _():
@@ -135,19 +145,19 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
 
         for cp in copies(g, c0, c, slot):
             cp.wait()
-        off = pl.multiple_of(c0 + c * _W, _W)
-        sk_view = sk_vmem.at[pl.ds(slot * _W, _W)]
+        off = pl.multiple_of(c0 + c * W, W)
+        sk_view = sk_vmem.at[pl.ds(slot * W, W)]
         sv_view = sv_vmem.at[slot]
-        for sub in range(_NSUB):
-            lo = off + sub * _SUB
+        for sub in range(W // SUB):
+            lo = off + sub * SUB
 
-            @pl.when((lo + _SUB > p0) & (lo < p1))
+            @pl.when((lo + SUB > p0) & (lo < p1))
             def _():
-                local = sk_view[pl.ds(sub * _SUB, _SUB)] - b * _B
+                local = sk_view[pl.ds(sub * SUB, SUB)] - b * B
                 # rows outside [0, B) (padded tail / other blocks) match
                 # nothing
                 A = (
-                    jax.lax.broadcasted_iota(jnp.int32, (_B, _SUB), 0)
+                    jax.lax.broadcasted_iota(jnp.int32, (B, SUB), 0)
                     == local[None, :]
                 ).astype(jnp.bfloat16)
                 # contract the sample axis of both operands:
@@ -155,7 +165,7 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
                 # table axis lands in LANES; slicing the live 2F value
                 # lanes shrinks the f32 product 4x (same MXU tiles)
                 prod = jax.lax.dot_general(
-                    sv_view[pl.ds(sub * _SUB, _SUB), pl.ds(0, 2 * F)], A,
+                    sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, 2 * F)], A,
                     (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -173,12 +183,17 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     from jax.experimental.pallas import tpu as pltpu
 
     G, K, F = sv.shape
-    # pad the output rows to whole _B-blocks: sentinel keys (== n_rows) land
+    # pad the output rows to whole B-blocks: sentinel keys (== n_rows) land
     # in a padding block but carry zero values, so the extra rows sum to
     # zero and are sliced off below.  This admits the DENSE hash levels
     # (8-aligned res^3 sizes, reference modules/hash_encoder.py:183-207),
     # not just the 2^19 hashed group.
-    n_pad = ((n_rows + _B - 1) // _B) * _B
+    B, SUB = _B, _SUB
+    n_pad = ((n_rows + B - 1) // B) * B
+    # per-call DMA chunk: small tables' blocks each walk ~the whole stream,
+    # so per-chunk overhead dominates and a large chunk wins (see the
+    # constants block); big tables keep the boundary-waste-safe default
+    W = _W_SMALL if n_pad // B <= _SMALL_BLOCKS else _W
     # bf16 hi/lo split: exact 0/1 one-hot x (hi + lo) in f32 accumulation.
     # The barrier is load-bearing: under jit, XLA's excess-precision rule
     # keeps the f32->bf16 rounding of `hi` in f32 registers, so the
@@ -191,14 +206,14 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     # sentinel row (key n_rows never matches a block row), and the feature
     # axis to the 128-lane tile (manual DMA slices must be tile aligned;
     # the MXU runs 128-wide regardless)
-    Kp = ((K + 1 + _W - 1) // _W) * _W
+    Kp = ((K + 1 + W - 1) // W) * W
     svp = jnp.pad(svp, ((0, 0), (0, Kp - K), (0, 128 - 2 * F)))
     skp = jnp.pad(
         sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
     ).reshape(-1)
 
-    n_blocks = n_pad // _B
-    block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * _B
+    n_blocks = n_pad // B
+    block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * B
     starts = jax.vmap(lambda k: jnp.searchsorted(k, block_edges))(sk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -209,18 +224,19 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, F, _B), lambda g, b, s: (g, 0, b),
+            (1, F, B), lambda g, b, s: (g, 0, b),
             memory_space=pltpu.MemorySpace.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((4 * _W,), jnp.int32),
-            pltpu.VMEM((4, _W, 128), jnp.bfloat16),
-            pltpu.VMEM((F, _B), jnp.float32),
+            pltpu.VMEM((4 * W,), jnp.int32),
+            pltpu.VMEM((4, W, 128), jnp.bfloat16),
+            pltpu.VMEM((F, B), jnp.float32),
             pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
     out = pl.pallas_call(
-        partial(_t_kernel, F=F, Kp=Kp, n_blocks=n_blocks, G=G),
+        partial(_t_kernel, F=F, Kp=Kp, n_blocks=n_blocks, G=G,
+                B=B, W=W, SUB=SUB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, F, n_pad), jnp.float32),
     )(starts.astype(jnp.int32), skp, svp)
