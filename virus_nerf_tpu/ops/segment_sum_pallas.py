@@ -204,8 +204,10 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     svp = jnp.concatenate([hi, lo], axis=2)  # (G, K, 2F) bf16
     # pad the stream to a whole number of DMA chunks with at least one
     # sentinel row (key n_rows never matches a block row), and the feature
-    # axis to the 128-lane tile (manual DMA slices must be tile aligned;
-    # the MXU runs 128-wide regardless)
+    # axis to the 128-lane tile — Mosaic REJECTS sub-128 lane DMA slices
+    # ("Slice shape along dimension 2 must be aligned to tiling (128)",
+    # tried 2026-08-19), so the explicit pad + layout copy (~1.7 ms/step)
+    # cannot be elided by reading the (W, 2F) logical block directly
     Kp = ((K + 1 + W - 1) // W) * W
     svp = jnp.pad(svp, ((0, 0), (0, Kp - K), (0, 128 - 2 * F)))
     skp = jnp.pad(
