@@ -173,9 +173,14 @@ def main():
     cfg.training.batch_size = 4096
     cfg.training.max_samples_per_ray = 128
     cfg.training.march_candidates = 1024
-    # compaction: model runs on <=32 samples/ray on average (the converged
-    # occupancy grid leaves most of the 128-sample layout empty)
-    cfg.training.sample_budget = 4096 * 32
+    # compaction: model runs on <=28 samples/ray on average (the converged
+    # occupancy grid leaves most of the 128-sample layout empty; steady
+    # state rm ~118k = 28.8/ray).  Validated 2026-08-19: a 2000-step
+    # converged quality run at spr=28 matches spr=32 (NeRF nn_mean z3
+    # 0.216 vs 0.232, median/coverage slightly better, PSNR identical —
+    # /tmp/q_r3_spr{28,32}.json protocol of tools/quality_run.py) while
+    # the ~3% overflowing samples cost -4.3 ms/step
+    cfg.training.sample_budget = 4096 * 28
     cfg.training.sampling_strategy = {
         "imgs": "all",
         "pixs": {"valid_uss": 0.4, "valid_tof": 0.4},

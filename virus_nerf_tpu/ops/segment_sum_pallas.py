@@ -55,12 +55,17 @@ _SUB = int(_os.environ.get("VNERF_WSS_SUB", "128"))  # compute sub-block
 # waste that rules W out for big tables (avg block range ~K*B/n_rows
 # samples) is absent when every block's range IS the stream.
 _W_SMALL = int(_os.environ.get("VNERF_WSS_WSMALL", "1024"))
+# hi/lo split on the gradient stream: "1" (default) keeps ~16 mantissa
+# bits via two bf16 halves; "0" sends bf16-rounded gradients only —
+# halves the kernel's MXU work and mirrors the reference's fp16-gradient
+# encoder variant (modules/hash_encoder_half.py); quality A/B knob
+_HILO = _os.environ.get("VNERF_WSS_HILO", "1") == "1"
 _SMALL_BLOCKS = int(_os.environ.get("VNERF_WSS_SMALL_BLOCKS", "16"))
 
 
 def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
               acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int,
-              B: int, W: int, SUB: int):
+              B: int, W: int, SUB: int, VF: int):
     """Cross-block-pipelined DMA + sub-block-skipped MXU compute.
 
     DMA granularity stays at the aligned W-sample chunk (Mosaic dynamic
@@ -165,12 +170,15 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
                 # table axis lands in LANES; slicing the live 2F value
                 # lanes shrinks the f32 product 4x (same MXU tiles)
                 prod = jax.lax.dot_general(
-                    sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, 2 * F)], A,
+                    sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, VF)], A,
                     (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 # hi + lo halves recombine in-register: output stays F-wide
-                acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
+                if VF == F:  # bf16-only stream (VNERF_WSS_HILO=0)
+                    acc_ref[:] += prod
+                else:
+                    acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
 
         return carry
 
@@ -199,9 +207,13 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     # keeps the f32->bf16 rounding of `hi` in f32 registers, so the
     # residual `sv - hi` folds to zero and the lo half silently vanishes
     # (caught by bench.py's on-TPU kernel CI, 2.1e-2 vs oracle).
-    hi = jax.lax.optimization_barrier(sv.astype(jnp.bfloat16))
-    lo = (sv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    svp = jnp.concatenate([hi, lo], axis=2)  # (G, K, 2F) bf16
+    if _HILO:
+        hi = jax.lax.optimization_barrier(sv.astype(jnp.bfloat16))
+        lo = (sv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        svp = jnp.concatenate([hi, lo], axis=2)  # (G, K, 2F) bf16
+    else:
+        svp = sv.astype(jnp.bfloat16)  # (G, K, F) bf16, rounded grads
+    VF = svp.shape[2]
     # pad the stream to a whole number of DMA chunks with at least one
     # sentinel row (key n_rows never matches a block row), and the feature
     # axis to the 128-lane tile — Mosaic REJECTS sub-128 lane DMA slices
@@ -209,7 +221,7 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     # tried 2026-08-19), so the explicit pad + layout copy (~1.7 ms/step)
     # cannot be elided by reading the (W, 2F) logical block directly
     Kp = ((K + 1 + W - 1) // W) * W
-    svp = jnp.pad(svp, ((0, 0), (0, Kp - K), (0, 128 - 2 * F)))
+    svp = jnp.pad(svp, ((0, 0), (0, Kp - K), (0, 128 - VF)))
     skp = jnp.pad(
         sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
     ).reshape(-1)
@@ -238,7 +250,7 @@ def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
     )
     out = pl.pallas_call(
         partial(_t_kernel, F=F, Kp=Kp, n_blocks=n_blocks, G=G,
-                B=B, W=W, SUB=SUB),
+                B=B, W=W, SUB=SUB, VF=VF),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, F, n_pad), jnp.float32),
     )(starts.astype(jnp.int32), skp, svp)
