@@ -61,6 +61,12 @@ _W_SMALL = int(_os.environ.get("VNERF_WSS_WSMALL", "1024"))
 # encoder variant (modules/hash_encoder_half.py); quality A/B knob
 _HILO = _os.environ.get("VNERF_WSS_HILO", "1") == "1"
 _SMALL_BLOCKS = int(_os.environ.get("VNERF_WSS_SMALL_BLOCKS", "16"))
+# factored one-hot: split the local key into hi = key >> 7 and lo = key & 127
+# and replace the (B, SUB) one-hot build (the kernel's dominant VPU cost:
+# ~256 vreg compare/selects per sub-block visit) with ONE (128, SUB) lo
+# one-hot + B/128 per-hi sample masks — the same MXU op count (the (VF, B)
+# product tiles into B/128 lane blocks either way), ~2x fewer VPU ops
+_FACT = _os.environ.get("VNERF_WSS_FACT", "0") == "1"
 
 
 def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
@@ -159,26 +165,56 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
             @pl.when((lo + SUB > p0) & (lo < p1))
             def _():
                 local = sk_view[pl.ds(sub * SUB, SUB)] - b * B
-                # rows outside [0, B) (padded tail / other blocks) match
-                # nothing
-                A = (
-                    jax.lax.broadcasted_iota(jnp.int32, (B, SUB), 0)
-                    == local[None, :]
-                ).astype(jnp.bfloat16)
-                # contract the sample axis of both operands:
-                # (SUB,2F)^T x (SUB,B) on the MXU, result (2F, B) — the
-                # table axis lands in LANES; slicing the live 2F value
-                # lanes shrinks the f32 product 4x (same MXU tiles)
-                prod = jax.lax.dot_general(
-                    sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, VF)], A,
-                    (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                # hi + lo halves recombine in-register: output stays F-wide
-                if VF == F:  # bf16-only stream (VNERF_WSS_HILO=0)
-                    acc_ref[:] += prod
+                v = sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, VF)]
+                if _FACT and B % 128 == 0:
+                    # factored one-hot (module constants block): lo 7 bits
+                    # build ONE (128, SUB) one-hot; the hi bits select the
+                    # 128-lane output block via a cheap per-hi sample mask.
+                    # Out-of-block samples (local < 0 or >= B, incl. the
+                    # sentinel-key padding) have hi outside [0, B/128) and
+                    # match no mask.
+                    lo_k = jax.lax.bitwise_and(local, 127)
+                    hi_k = jax.lax.shift_right_arithmetic(local, 7)
+                    L = (
+                        jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
+                        == lo_k[None, :]
+                    ).astype(jnp.bfloat16)  # (128, SUB)
+                    for hh in range(B // 128):
+                        # minor-dim insertion is 32-bit-only in Mosaic:
+                        # broadcast the mask as f32, THEN cast to bf16
+                        mf = (hi_k == hh).astype(jnp.float32)[:, None]
+                        vm = v * mf.astype(jnp.bfloat16)
+                        prod = jax.lax.dot_general(
+                            vm, L, (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (VF, 128)
+                        sl = slice(hh * 128, (hh + 1) * 128)
+                        if VF == F:
+                            acc_ref[:, sl] += prod
+                        else:
+                            acc_ref[:, sl] += prod[:F, :] + prod[F:2 * F, :]
                 else:
-                    acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
+                    # rows outside [0, B) (padded tail / other blocks)
+                    # match nothing
+                    A = (
+                        jax.lax.broadcasted_iota(jnp.int32, (B, SUB), 0)
+                        == local[None, :]
+                    ).astype(jnp.bfloat16)
+                    # contract the sample axis of both operands:
+                    # (SUB,2F)^T x (SUB,B) on the MXU, result (2F, B) — the
+                    # table axis lands in LANES; slicing the live 2F value
+                    # lanes shrinks the f32 product 4x (same MXU tiles)
+                    prod = jax.lax.dot_general(
+                        v, A,
+                        (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    # hi + lo halves recombine in-register: output stays
+                    # F-wide
+                    if VF == F:  # bf16-only stream (VNERF_WSS_HILO=0)
+                        acc_ref[:] += prod
+                    else:
+                        acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
 
         return carry
 
