@@ -284,7 +284,9 @@ def _gather_rows_packed_bf16(slab, rows_local):
     (tools/PERF_NOTES.md e9) — at the cost of bf16-rounded features
     (precedent: the reference's fp16 encoder variant,
     modules/hash_encoder_half.py; converged-quality parity validated in
-    BASELINE.md).
+    BASELINE.md).  An f32-VIEW packing (halved relayout elements, 512-B
+    rows) measured 16% slower in-train — falsified, tools/PERF_NOTES.md
+    round 3.
     """
     s, wdt = slab.shape
     P = 128 // wdt

@@ -21,9 +21,12 @@ Two layout rules learned the hard way (tools/PERF_NOTES.md):
   therefore computes ``V^T A^T`` ((128, W) x (W, B) -> (128, B)) instead of
   ``A V`` — the measured end-to-end win of the transposed pipeline over the
   XLA path is 48.4 -> 34.8 ms for the 10-level hashed group (v5e);
-- the bf16 hi/lo value split (``v = hi + lo``, both bf16, ~16 mantissa
-  bits, f32 accumulation) is recombined in-register before the output
-  write.  Accuracy beats the f32-cumsum formulation (which cancels against
+- the gradient stream enters as bf16 (one-hot weights are exact 0/1 and
+  accumulation is f32, so only the per-sample values round; converged
+  quality is unaffected — BASELINE.md).  An optional hi/lo split
+  (``VNERF_WSS_HILO=1``: ``v = hi + lo``, both bf16, ~16 mantissa bits)
+  recombines in-register before the output write for full-precision A/Bs;
+  its accuracy beats the f32-cumsum formulation (which cancels against
   growing prefix sums): rel90 4.5e-6 vs 3.7e-5 against a float64 oracle.
 
 The per-block sample ranges arrive via scalar prefetch; a dynamic
@@ -55,18 +58,23 @@ _SUB = int(_os.environ.get("VNERF_WSS_SUB", "128"))  # compute sub-block
 # waste that rules W out for big tables (avg block range ~K*B/n_rows
 # samples) is absent when every block's range IS the stream.
 _W_SMALL = int(_os.environ.get("VNERF_WSS_WSMALL", "1024"))
-# hi/lo split on the gradient stream: "1" (default) keeps ~16 mantissa
-# bits via two bf16 halves; "0" sends bf16-rounded gradients only —
-# halves the kernel's MXU work and mirrors the reference's fp16-gradient
-# encoder variant (modules/hash_encoder_half.py); quality A/B knob
-_HILO = _os.environ.get("VNERF_WSS_HILO", "1") == "1"
+# hi/lo split on the gradient stream: "0" (default) sends bf16-rounded
+# gradients (exact 0/1 one-hot, f32 accumulation) — the isolated kernel is
+# unchanged, but dropping the barrier'd hi round + residual + 2F concat on
+# the XLA side measured 101.9 -> 109.1k rays/s in-train at converged
+# quality parity (BASELINE.md 2026-08-20: nn_mean z3 0.217 vs 0.216;
+# precedent: the reference's fp16-gradient encoder variant,
+# modules/hash_encoder_half.py).  "1" keeps ~16 mantissa bits via two
+# bf16 halves for full-precision A/Bs.
+_HILO = _os.environ.get("VNERF_WSS_HILO", "0") == "1"
 _SMALL_BLOCKS = int(_os.environ.get("VNERF_WSS_SMALL_BLOCKS", "16"))
-# factored one-hot: split the local key into hi = key >> 7 and lo = key & 127
-# and replace the (B, SUB) one-hot build (the kernel's dominant VPU cost:
-# ~256 vreg compare/selects per sub-block visit) with ONE (128, SUB) lo
-# one-hot + B/128 per-hi sample masks — the same MXU op count (the (VF, B)
-# product tiles into B/128 lane blocks either way), ~2x fewer VPU ops
-_FACT = _os.environ.get("VNERF_WSS_FACT", "0") == "1"
+# FALSIFIED (2026-08-19, v5e; tools/PERF_NOTES.md): a FACTORED one-hot —
+# hi = key >> 7 selecting the 128-lane output block via per-hi sample
+# masks, lo = key & 127 in ONE (128, SUB) one-hot — measured 12.7 ms vs
+# 8.1 ms for the plain (B, SUB) build on the 10-level bench group (the
+# B/128 skinny dots + mask-mults cost more than the big one-hot), and
+# 20.7 ms with per-hi pl.when range skipping (scalar branch machinery
+# dominates).  The plain one-hot below is the measured optimum.
 
 
 def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
@@ -165,56 +173,26 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
             @pl.when((lo + SUB > p0) & (lo < p1))
             def _():
                 local = sk_view[pl.ds(sub * SUB, SUB)] - b * B
-                v = sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, VF)]
-                if _FACT and B % 128 == 0:
-                    # factored one-hot (module constants block): lo 7 bits
-                    # build ONE (128, SUB) one-hot; the hi bits select the
-                    # 128-lane output block via a cheap per-hi sample mask.
-                    # Out-of-block samples (local < 0 or >= B, incl. the
-                    # sentinel-key padding) have hi outside [0, B/128) and
-                    # match no mask.
-                    lo_k = jax.lax.bitwise_and(local, 127)
-                    hi_k = jax.lax.shift_right_arithmetic(local, 7)
-                    L = (
-                        jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
-                        == lo_k[None, :]
-                    ).astype(jnp.bfloat16)  # (128, SUB)
-                    for hh in range(B // 128):
-                        # minor-dim insertion is 32-bit-only in Mosaic:
-                        # broadcast the mask as f32, THEN cast to bf16
-                        mf = (hi_k == hh).astype(jnp.float32)[:, None]
-                        vm = v * mf.astype(jnp.bfloat16)
-                        prod = jax.lax.dot_general(
-                            vm, L, (((0,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (VF, 128)
-                        sl = slice(hh * 128, (hh + 1) * 128)
-                        if VF == F:
-                            acc_ref[:, sl] += prod
-                        else:
-                            acc_ref[:, sl] += prod[:F, :] + prod[F:2 * F, :]
+                # rows outside [0, B) (padded tail / other blocks) match
+                # nothing
+                A = (
+                    jax.lax.broadcasted_iota(jnp.int32, (B, SUB), 0)
+                    == local[None, :]
+                ).astype(jnp.bfloat16)
+                # contract the sample axis of both operands:
+                # (SUB,2F)^T x (SUB,B) on the MXU, result (2F, B) — the
+                # table axis lands in LANES; slicing the live 2F value
+                # lanes shrinks the f32 product 4x (same MXU tiles)
+                prod = jax.lax.dot_general(
+                    sv_view[pl.ds(sub * SUB, SUB), pl.ds(0, VF)], A,
+                    (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # hi + lo halves recombine in-register: output stays F-wide
+                if VF == F:  # bf16-only stream (VNERF_WSS_HILO=0)
+                    acc_ref[:] += prod
                 else:
-                    # rows outside [0, B) (padded tail / other blocks)
-                    # match nothing
-                    A = (
-                        jax.lax.broadcasted_iota(jnp.int32, (B, SUB), 0)
-                        == local[None, :]
-                    ).astype(jnp.bfloat16)
-                    # contract the sample axis of both operands:
-                    # (SUB,2F)^T x (SUB,B) on the MXU, result (2F, B) — the
-                    # table axis lands in LANES; slicing the live 2F value
-                    # lanes shrinks the f32 product 4x (same MXU tiles)
-                    prod = jax.lax.dot_general(
-                        v, A,
-                        (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    # hi + lo halves recombine in-register: output stays
-                    # F-wide
-                    if VF == F:  # bf16-only stream (VNERF_WSS_HILO=0)
-                        acc_ref[:] += prod
-                    else:
-                        acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
+                    acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
 
         return carry
 
