@@ -55,7 +55,11 @@ from virus_nerf_tpu.ops.common import tpu_kernels_enabled
 from virus_nerf_tpu.ops.segment_sum_pallas import (
     group_segment_sum_t,
     group_segment_sum_t_sorted,
+    group_segment_sum_ts_sorted,
     kernel_applicable,
+    stream_dtype,
+    transposed_stream,
+    ts_applicable,
 )
 
 # the reference's hashing primes (modules/hash_encoder.py:43-51); prime for
@@ -486,13 +490,23 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     n = rows.shape[-1]
     g = g.reshape(n, spec.levels, F)  # (N, L, F)
 
+    use_kernel = tpu_kernels_enabled()
+    use_ts = use_kernel and transposed_stream() and ts_applicable(8 * F)
+    # the kernel consumes the gradient stream in bf16 (VNERF_WSS_HILO=0
+    # default); building the per-level value chains in bf16 from the start
+    # halves the outer-product / permute-take / stack bandwidth instead of
+    # rounding at the kernel boundary (the fallback XLA path casts back)
+    sdt = stream_dtype() if use_kernel else jnp.float32
+    w_s = w.astype(sdt)
+    g_s = g.astype(sdt)
+
     # d out / d W[base, kF+f] = w[k] * g[l, f]  ->  per-level (N, 8F) wide
     # grads, built lazily per level: materializing the (L, N, 8F) stack and
     # re-slicing it measured ~4.8 ms/step of pure relayout (copy of the
     # stacked layout + a 16-way slice fusion) on the bench config
     def gv_level(lvl):
         return (
-            w[lvl].T[:, :, None] * g[:, lvl, None, :]
+            w_s[lvl].T[:, :, None] * g_s[:, lvl, None, :]
         ).reshape(n, 8 * F)
 
     local = rows - jnp.asarray(spec.offsets, jnp.int32)[:, None]  # (L, N)
@@ -501,32 +515,96 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     # share all three) so each group reduces AND folds as ONE batched op;
     # the key sort batches across ALL levels regardless of size (sorting is
     # per-row independent) — one (L, N) sort instead of one per group
-    use_kernel = tpu_kernels_enabled()
     pi = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32), (spec.levels, n)
     )
     sk_all, sp_all = jax.lax.sort([local, pi], dimension=1, num_keys=1)
 
+    def _take_sorted(lvl):
+        return jnp.take(gv_level(lvl), sp_all[lvl], axis=0)  # (K, 8F)
+
+    def _take_sorted_t(lvl):
+        # transposed (8F, K) stream: one bf16 sublane tile tall, so the
+        # kernel DMAs (8F, W) chunks with no 128-lane pad
+        return _take_sorted(lvl).T
+
+    def _emit_group(dwt, sy, sz, size, blocks):
+        ft = _fold_wide_t(dwt, sy, sz, size)  # (G, F, size)
+        blocks.append(
+            ft.transpose(0, 2, 1).reshape(dwt.shape[0] * size, F)
+        )
+
+    def _emit_merged(buf, blocks):
+        """One kernel call for a RUN of consecutive single-level groups
+        (the small dense levels): each level's stream is key-sorted and the
+        per-level base offsets ascend with level order, so the concatenated
+        stream is globally sorted — M pallas_calls (each with its own pad,
+        searchsorted, and launch overhead) collapse into one over the
+        concatenated Sum(size) output rows."""
+        if len(buf) == 1:
+            size, sy, sz, lvl = buf[0]
+            if use_ts:
+                dwt = group_segment_sum_ts_sorted(
+                    _take_sorted_t(lvl)[None], sk_all[lvl][None], size
+                )
+            else:
+                dwt = group_segment_sum_t_sorted(
+                    _take_sorted(lvl)[None], sk_all[lvl][None], size
+                )
+            _emit_group(dwt, sy, sz, size, blocks)
+            return
+        bases = np.cumsum([0] + [b[0] for b in buf])
+        total = int(bases[-1])
+        sk_m = jnp.concatenate(
+            [sk_all[b[3]] + jnp.int32(bases[i]) for i, b in enumerate(buf)]
+        )
+        if use_ts:
+            sv_m = jnp.concatenate(
+                [_take_sorted_t(b[3]) for b in buf], axis=1
+            )
+            out = group_segment_sum_ts_sorted(sv_m[None], sk_m[None], total)
+        else:
+            sv_m = jnp.concatenate(
+                [_take_sorted(b[3]) for b in buf], axis=0
+            )
+            out = group_segment_sum_t_sorted(sv_m[None], sk_m[None], total)
+        for i, (size, sy, sz, lvl) in enumerate(buf):
+            b0 = int(bases[i])
+            _emit_group(out[:, :, b0:b0 + size], sy, sz, size, blocks)
+
     blocks = []  # per-group (G*size, F) grad blocks, level order
+    merge_buf = []  # pending run of single-level kernel-path groups
     for size, sy, sz, lvls in _same_size_level_groups(spec):
-        idx = jnp.asarray(lvls, jnp.int32)
         G = len(lvls)
-        if use_kernel and kernel_applicable(size, 8 * F):
+        eligible = use_kernel and kernel_applicable(size, 8 * F)
+        if eligible and G == 1:
+            merge_buf.append((size, sy, sz, lvls[0]))
+            continue
+        if merge_buf:
+            _emit_merged(merge_buf, blocks)
+            merge_buf = []
+        idx = jnp.asarray(lvls, jnp.int32)
+        if eligible:
             # windowed MXU segment-sum kernel, transposed layout end to end
             # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
             # ONE batched lane-roll fold for the whole group, one
             # (G, F, size) -> (G, size, F) transpose
-            sv = jnp.stack(
-                [jnp.take(gv_level(lvl), sp_all[lvl], axis=0) for lvl in lvls]
-            )
-            dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
-            ft = _fold_wide_t(dwt, sy, sz, size)  # (G, F, size)
-            blocks.append(ft.transpose(0, 2, 1).reshape(G * size, F))
+            if use_ts:
+                svt = jnp.stack([_take_sorted_t(lvl) for lvl in lvls])
+                dwt = group_segment_sum_ts_sorted(svt, sk_all[idx], size)
+            else:
+                sv = jnp.stack([_take_sorted(lvl) for lvl in lvls])
+                dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
+            _emit_group(dwt, sy, sz, size, blocks)
         else:
-            gv_g = jnp.stack([gv_level(lvl) for lvl in lvls])
+            gv_g = jnp.stack(
+                [gv_level(lvl) for lvl in lvls]
+            ).astype(jnp.float32)
             dws = _batched_segment_rows_sum(gv_g, local[idx], size)
             folded = _fold_wide(dws, sy, sz, size)  # (G, size, F)
             blocks.append(folded.reshape(G * size, F))
+    if merge_buf:
+        _emit_merged(merge_buf, blocks)
 
     grad_table = jnp.concatenate(blocks, axis=0)  # (total_rows, F)
     if table_carrier.ndim == 1:  # flat-table caller

@@ -68,6 +68,27 @@ _W_SMALL = int(_os.environ.get("VNERF_WSS_WSMALL", "1024"))
 # bf16 halves for full-precision A/Bs.
 _HILO = _os.environ.get("VNERF_WSS_HILO", "0") == "1"
 _SMALL_BLOCKS = int(_os.environ.get("VNERF_WSS_SMALL_BLOCKS", "16"))
+# transposed gradient stream: the caller hands the stream as (G, VF, K) —
+# samples in LANES — instead of (G, K, VF).  The (K, VF) form must be
+# lane-padded to 128 before DMA (Mosaic rejects sub-128 lane slices), an
+# 8x inflation of both the XLA-side pad copy and the per-chunk DMA bytes
+# for VF=16; the (VF, K) form is exactly one bf16 sublane tile tall and
+# slices natively along lanes.  The dot flips to the MXU-native
+# (VF, SUB) x (SUB, B) form with a (SUB, B) one-hot.
+_TS = _os.environ.get("VNERF_WSS_T", "1") == "1"
+
+
+def transposed_stream() -> bool:
+    """True when the hash backward should hand the kernel a (G, VF, K)
+    sample-in-lanes gradient stream (see `_TS` above)."""
+    return _TS
+
+
+def stream_dtype():
+    """Element type the kernel consumes the gradient stream in: bf16 by
+    default (exact 0/1 one-hot, f32 accumulation), f32 when the hi/lo
+    split is on so the residual can be formed."""
+    return jnp.float32 if _HILO else jnp.bfloat16
 # FALSIFIED (2026-08-19, v5e; tools/PERF_NOTES.md): a FACTORED one-hot —
 # hi = key >> 7 selecting the 128-lane output block via per-hi sample
 # masks, lo = key & 127 in ONE (128, SUB) one-hot — measured 12.7 ms vs
@@ -198,6 +219,199 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
     out_ref[0] = acc_ref[:]
+
+
+def _ts_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
+               acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int,
+               B: int, W: int, SUB: int, VF: int):
+    """Transposed-stream variant of `_t_kernel` (see `_TS`): the value
+    stream arrives (VF, K) with samples in LANES, so each DMA chunk is
+    (VF, W) — 8x fewer bytes than the lane-padded (W, 128) form for
+    VF=16 — and the dot is the MXU-native (VF, SUB) x (SUB, B) with a
+    (SUB, B) one-hot.  Pipelining/skip logic is identical to `_t_kernel`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    p0 = starts_ref[g, b]
+    p1 = starts_ref[g, b + 1]
+    c0 = (p0 // W) * W
+    n_chunks = jnp.where(p1 > p0, (p1 - c0 + W - 1) // W, 0)
+
+    def copies(gg, c0x, c, slot):
+        off = pl.multiple_of(c0x + c * W, W)
+        koff = pl.multiple_of(gg * Kp + off, W)
+        return (
+            pltpu.make_async_copy(
+                sk_hbm.at[pl.ds(koff, W)],
+                sk_vmem.at[pl.ds(slot * W, W)],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                sv_hbm.at[gg, :, pl.ds(off, W)], sv_vmem.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    base = 2 * jax.lax.rem(b, 2)
+
+    @pl.when((g == 0) & (b == 0) & (n_chunks > 0))
+    def _():
+        for cp in copies(g, c0, 0, base):
+            cp.start()
+
+    nb = b + 1
+    ng = jnp.where(nb == n_blocks, g + 1, g)
+    nbb = jnp.where(nb == n_blocks, 0, nb)
+
+    @pl.when(ng < G)
+    def _():
+        np0 = starts_ref[ng, nbb]
+        np1 = starts_ref[ng, nbb + 1]
+        nc0 = (np0 // W) * W
+
+        @pl.when(np1 > np0)
+        def _():
+            for cp in copies(ng, nc0, 0, 2 * jax.lax.rem(nbb, 2)):
+                cp.start()
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def body(c, carry):
+        slot = base + jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in copies(g, c0, c + 1, base + jax.lax.rem(c + 1, 2)):
+                cp.start()
+
+        for cp in copies(g, c0, c, slot):
+            cp.wait()
+        off = pl.multiple_of(c0 + c * W, W)
+        sk_view = sk_vmem.at[pl.ds(slot * W, W)]
+        sv_view = sv_vmem.at[slot]
+        for sub in range(W // SUB):
+            lo = off + sub * SUB
+
+            @pl.when((lo + SUB > p0) & (lo < p1))
+            def _():
+                local = sk_view[pl.ds(sub * SUB, SUB)] - b * B
+                # (SUB, B) one-hot: samples in sublanes, output rows in
+                # lanes — the dot below is then the native (M,K)x(K,N)
+                # MXU form with no operand transpose
+                A = (
+                    local[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (SUB, B), 1)
+                ).astype(jnp.bfloat16)
+                prod = jax.lax.dot_general(
+                    sv_view[:, pl.ds(sub * SUB, SUB)], A,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (VF, B)
+                if VF == F:
+                    acc_ref[:] += prod
+                else:
+                    acc_ref[:] += prod[:F, :] + prod[F:2 * F, :]
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0] = acc_ref[:]
+
+
+def _sorted_group_segment_sum_ts_tpu(svt, sk, n_rows: int):
+    """Transposed-stream entry: svt (G, F, K), samples in lanes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, F, K = svt.shape
+    B, SUB = _B, _SUB
+    n_pad = ((n_rows + B - 1) // B) * B
+    W = _W_SMALL if n_pad // B <= _SMALL_BLOCKS else _W
+    if _HILO:
+        hi = jax.lax.optimization_barrier(svt.astype(jnp.bfloat16))
+        lo = (svt.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+        svp = jnp.concatenate([hi, lo], axis=1)  # (G, 2F, K) bf16
+    else:
+        svp = svt.astype(jnp.bfloat16)
+    VF = svp.shape[1]
+    # pad the sample axis (LANES) to whole DMA chunks with >=1 sentinel;
+    # no 128-lane feature pad exists in this layout — the (VF, K) stream
+    # is already tile-exact for VF a multiple of the bf16 sublane tile
+    Kp = ((K + 1 + W - 1) // W) * W
+    svp = jnp.pad(svp, ((0, 0), (0, 0), (0, Kp - K)))
+    skp = jnp.pad(
+        sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
+    ).reshape(-1)
+
+    n_blocks = n_pad // B
+    block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * B
+    starts = jax.vmap(lambda k: jnp.searchsorted(k, block_edges))(sk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, F, B), lambda g, b, s: (g, 0, b),
+            memory_space=pltpu.MemorySpace.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4 * W,), jnp.int32),
+            pltpu.VMEM((4, VF, W), jnp.bfloat16),
+            pltpu.VMEM((F, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_ts_kernel, F=F, Kp=Kp, n_blocks=n_blocks, G=G,
+                B=B, W=W, SUB=SUB, VF=VF),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, F, n_pad), jnp.float32),
+    )(starts.astype(jnp.int32), skp, svp)
+    return out[:, :, :n_rows] if n_pad != n_rows else out
+
+
+def ts_applicable(F: int) -> bool:
+    """Transposed-stream eligibility: the (VF, W) DMA block must be
+    sublane-tile-exact for bf16 (tile 16) in both the bf16 (VF=F) and
+    hi/lo (VF=2F) modes."""
+    return F % 16 == 0 and 2 * F <= 128
+
+
+def group_segment_sum_ts_sorted(svt, sk, n_rows: int):
+    """`group_segment_sum_t_sorted` for a TRANSPOSED stream.
+
+    Args:
+        svt: (G, F, K) values with samples in lanes, each level sorted by
+            its key (any float dtype; bf16 is consumed as-is).
+        sk: (G, K) int32 sorted row ids in [0, n_rows).
+    Returns:
+        (G, F, n_rows) f32 sums.
+    """
+    G, F, K = svt.shape
+    if (
+        tpu_kernels_enabled()
+        and kernel_applicable(n_rows, F)
+        and ts_applicable(F)
+    ):
+        return _sorted_group_segment_sum_ts_tpu(svt, sk, n_rows)
+    out = jnp.stack(
+        [
+            _windowed_segment_sum_jnp(
+                svt[g].T.astype(jnp.float32), sk[g], n_rows
+            )
+            for g in range(G)
+        ]
+    )
+    return out.transpose(0, 2, 1)
 
 
 def _sorted_group_segment_sum_t_tpu(sv, sk, n_rows: int):
