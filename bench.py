@@ -52,7 +52,6 @@ def check_kernels() -> bool:
         _adam_leaf_pallas,
     )
     from virus_nerf_tpu.ops.segment_sum_pallas import (
-        _sorted_group_segment_sum_t_tpu,
         _windowed_segment_sum_jnp,
     )
 
@@ -61,50 +60,103 @@ def check_kernels() -> bool:
     ok = True
     key = jax.random.PRNGKey(0)
 
-    def _seg_oracle(sv_g, sk_g, rows):
+    def _seg_oracle(sv_g, sk_g, rows, hilo):
         """Mode-matched oracle: the kernel streams bf16 values (hi/lo split
-        when VNERF_WSS_HILO=1, plain bf16-rounded when 0) with f32
-        accumulation — round the oracle's inputs the same way so the 1e-3
-        gate checks the KERNEL, not the configured stream precision."""
-        if _ssp._HILO:
+        when hilo, plain bf16-rounded when not) with f32 accumulation —
+        round the oracle's inputs the same way so the 1e-3 gate checks the
+        KERNEL, not the configured stream precision."""
+        if hilo:
             hi = sv_g.astype(jnp.bfloat16).astype(jnp.float32)
             sv_r = hi + (sv_g - hi).astype(jnp.bfloat16).astype(jnp.float32)
         else:
             sv_r = sv_g.astype(jnp.bfloat16).astype(jnp.float32)
         return np.asarray(_windowed_segment_sum_jnp(sv_r, sk_g, rows)).T
 
-    # windowed segment sum: kernel vs cumsum oracle (incl. a skewed level)
+    def _run_seg(sv, sk, rows, ts, hilo):
+        """Run the (G, K, F) case through the requested kernel + stream
+        mode; the ts variant consumes the TRANSPOSED (G, F, K) stream."""
+        old = _ssp._HILO
+        _ssp._HILO = hilo
+        try:
+            if ts:
+                fn = jax.jit(
+                    lambda a, b: _ssp._sorted_group_segment_sum_ts_tpu(
+                        a, b, rows
+                    )
+                )
+                return np.asarray(fn(sv.transpose(0, 2, 1), sk))
+            fn = jax.jit(
+                lambda a, b: _ssp._sorted_group_segment_sum_t_tpu(a, b, rows)
+            )
+            return np.asarray(fn(sv, sk))
+        finally:
+            _ssp._HILO = old
+
+    def _check_seg(name, sv, sk, rows, ts, hilo):
+        nonlocal ok
+        got = _run_seg(sv, sk, rows, ts, hilo)
+        want = np.stack(
+            [_seg_oracle(sv[g], sk[g], rows, hilo) for g in range(sv.shape[0])]
+        )
+        err = np.max(np.abs(got - want))
+        if err > 1e-3:
+            print(f"# segment_sum {name} mismatch: {err:.3e}")
+            ok = False
+
+    # windowed segment sum, BOTH kernel layouts x BOTH stream modes
+    # (incl. a skewed level — exercises empty blocks + the prefetch guard)
     G, K, R, F = 2, 8192, 2**14, 16
     sk = jnp.sort(jax.random.randint(key, (G, K), 0, R, jnp.int32), axis=1)
     sk = sk.at[1].set(jnp.sort(
         jax.random.randint(key, (K,), 1000, 1900, jnp.int32)))
     sv = jax.random.normal(jax.random.PRNGKey(1), (G, K, F), jnp.float32)
-    got = np.asarray(
-        jax.jit(_sorted_group_segment_sum_t_tpu, static_argnums=2)(sv, sk, R)
-    )
-    want = np.stack([_seg_oracle(sv[g], sk[g], R) for g in range(G)])
-    err = np.max(np.abs(got - want))
-    if err > 1e-3:
-        print(f"# segment_sum kernel mismatch: {err:.3e}")
-        ok = False
+    for ts in (False, True):
+        for hilo in (False, True):
+            _check_seg(f"ts={ts} hilo={hilo}", sv, sk, R, ts, hilo)
 
-    # non-block-aligned rows (a dense hash level size): internal padding
+    # non-block-aligned rows (a dense hash level size): internal padding;
+    # both layouts in the production stream mode
     R2, K2 = 9264, 4096
     sk2 = jnp.sort(
         jax.random.randint(jax.random.PRNGKey(4), (1, K2), 0, R2, jnp.int32),
         axis=1,
     )
     sv2 = jax.random.normal(jax.random.PRNGKey(5), (1, K2, F), jnp.float32)
-    got2 = np.asarray(
-        jax.jit(_sorted_group_segment_sum_t_tpu, static_argnums=2)(
-            sv2, sk2, R2
-        )
+    for ts in (False, True):
+        _check_seg(f"padded-rows ts={ts}", sv2, sk2, R2, ts, _ssp._HILO)
+
+    # ODD n_blocks with G > 1 and dense multi-chunk blocks: a group's last
+    # block and the next group's block 0 run on consecutive linearized
+    # steps — the b-parity slot pairing raced exactly here (ADVICE r3)
+    R3, K3 = 3 * _ssp._B, 16384
+    sk3 = jnp.sort(
+        jax.random.randint(jax.random.PRNGKey(8), (3, K3), 0, R3, jnp.int32),
+        axis=1,
     )
-    want2 = _seg_oracle(sv2[0], sk2[0], R2)[None]
-    err2 = np.max(np.abs(got2 - want2))
-    if err2 > 1e-3:
-        print(f"# segment_sum padded-rows mismatch: {err2:.3e}")
-        ok = False
+    sv3 = jax.random.normal(jax.random.PRNGKey(9), (3, K3, F), jnp.float32)
+    for ts in (False, True):
+        _check_seg(f"odd-blocks ts={ts}", sv3, sk3, R3, ts, _ssp._HILO)
+
+    # merged multi-size concatenated stream (mirrors _emit_merged in the
+    # hash backward: per-segment sorted keys offset by ascending bases form
+    # ONE globally sorted stream over the concatenated output rows)
+    seg_sizes = (1000, 4096, 9264)
+    seg_ks = (512, 2048, 4096)
+    parts_k, base = [], 0
+    for ssize, kk in zip(seg_sizes, seg_ks):
+        kseg = jnp.sort(
+            jax.random.randint(
+                jax.random.PRNGKey(10 + ssize), (kk,), 0, ssize, jnp.int32
+            )
+        )
+        parts_k.append(kseg + base)
+        base += ssize
+    sk4 = jnp.concatenate(parts_k)[None]
+    sv4 = jax.random.normal(
+        jax.random.PRNGKey(11), (1, sk4.shape[1], F), jnp.float32
+    )
+    for ts in (False, True):
+        _check_seg(f"merged ts={ts}", sv4, sk4, base, ts, _ssp._HILO)
 
     # packed bf16 forward gather vs the plain row gather on a big slab
     # (the packed path engages only for slabs >= 2^17 rows, which CPU

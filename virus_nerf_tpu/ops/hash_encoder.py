@@ -495,8 +495,12 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     # the kernel consumes the gradient stream in bf16 (VNERF_WSS_HILO=0
     # default); building the per-level value chains in bf16 from the start
     # halves the outer-product / permute-take / stack bandwidth instead of
-    # rounding at the kernel boundary (the fallback XLA path casts back)
-    sdt = stream_dtype() if use_kernel else jnp.float32
+    # rounding at the kernel boundary.  Gated on kernel APPLICABILITY, not
+    # just availability: with feat_dim > 8 every group takes the XLA
+    # fallback, which would consume pre-rounded bf16 products for no
+    # bandwidth benefit (ADVICE r3)
+    kernel_any = use_kernel and kernel_applicable(max(spec.sizes), 8 * F)
+    sdt = stream_dtype() if kernel_any else jnp.float32
     w_s = w.astype(sdt)
     g_s = g.astype(sdt)
 

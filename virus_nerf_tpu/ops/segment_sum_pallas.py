@@ -110,13 +110,18 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     block's [start, end) key range: the average block has ~K*B/R samples,
     so most of a full chunk would be one-hot/matmul padding.
 
-    The pipeline crosses GRID steps: block b owns slot pair {2*(b%2),
-    2*(b%2)+1} and starts the NEXT block's chunk-0 copy into the other
-    pair as soon as its own chunk 0 is in flight — without this, every one
-    of the G * n_blocks grid steps exposes a full ~1 us HBM latency on its
-    first chunk (measured 14.2 -> 11.3 ms for the 10-level bench group;
-    slicing the value operand to its 2F live lanes before the dot cuts the
-    (128, B) f32 product to (2F, B) for another 11.3 -> 9.3 ms).
+    The pipeline crosses GRID steps: each linearized step owns the slot
+    pair {2*(lin%2), 2*(lin%2)+1} (lin = g*n_blocks + b) and starts the
+    NEXT step's chunk-0 copy into the other pair as soon as its own chunk
+    0 is in flight — without this, every one of the G * n_blocks grid
+    steps exposes a full ~1 us HBM latency on its first chunk (measured
+    14.2 -> 11.3 ms for the 10-level bench group; slicing the value
+    operand to its 2F live lanes before the dot cuts the (128, B) f32
+    product to (2F, B) for another 11.3 -> 9.3 ms).  The pair parity MUST
+    follow the LINEARIZED step, not b alone: with n_blocks odd, b-parity
+    gives a group's last block and the NEXT group's block 0 the same pair,
+    so the cross-group prefetch starts a copy into the slot/semaphore the
+    current block is still reading (wrong gradients; ADVICE r3).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -148,7 +153,9 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
             ),
         )
 
-    base = 2 * jax.lax.rem(b, 2)
+    # slot-pair parity of the LINEARIZED step (see docstring: b-parity
+    # races across group boundaries when n_blocks is odd)
+    base = 2 * jax.lax.rem(g * n_blocks + b, 2)
 
     # the very first block has no predecessor to prefetch its chunk 0
     @pl.when((g == 0) & (b == 0) & (n_chunks > 0))
@@ -156,7 +163,7 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
         for cp in copies(g, c0, 0, base):
             cp.start()
 
-    # prefetch the NEXT block's chunk 0 into the other slot pair (it waits
+    # prefetch the NEXT step's chunk 0 into the OTHER slot pair (it waits
     # on its own semaphores, so ordering with this block's compute is safe)
     nb = b + 1
     ng = jnp.where(nb == n_blocks, g + 1, g)
@@ -170,7 +177,7 @@ def _t_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
 
         @pl.when(np1 > np0)
         def _():
-            for cp in copies(ng, nc0, 0, 2 * jax.lax.rem(nbb, 2)):
+            for cp in copies(ng, nc0, 0, 2 - base):
                 cp.start()
 
     acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
@@ -228,7 +235,9 @@ def _ts_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     stream arrives (VF, K) with samples in LANES, so each DMA chunk is
     (VF, W) — 8x fewer bytes than the lane-padded (W, 128) form for
     VF=16 — and the dot is the MXU-native (VF, SUB) x (SUB, B) with a
-    (SUB, B) one-hot.  Pipelining/skip logic is identical to `_t_kernel`.
+    (SUB, B) one-hot.  Pipelining/skip logic is identical to `_t_kernel`,
+    including the linearized-parity slot pairing (see `_t_kernel` docstring
+    for the odd-n_blocks cross-group race it prevents).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -255,7 +264,7 @@ def _ts_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
             ),
         )
 
-    base = 2 * jax.lax.rem(b, 2)
+    base = 2 * jax.lax.rem(g * n_blocks + b, 2)
 
     @pl.when((g == 0) & (b == 0) & (n_chunks > 0))
     def _():
@@ -274,7 +283,7 @@ def _ts_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
 
         @pl.when(np1 > np0)
         def _():
-            for cp in copies(ng, nc0, 0, 2 * jax.lax.rem(nbb, 2)):
+            for cp in copies(ng, nc0, 0, 2 - base):
                 cp.start()
 
     acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
