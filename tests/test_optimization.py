@@ -9,11 +9,13 @@ import pytest
 from virus_nerf_tpu.configs.config import Config
 from virus_nerf_tpu.optimization import (
     HParamSpace,
+    MultiWorkerPSO,
     ParticleSwarmOptimization,
     PSOWrapper,
     SyntheticMetric,
     apply_hparams,
     run_optimization,
+    run_worker,
     score_from_metrics,
 )
 
@@ -155,6 +157,172 @@ class TestCrashResume:
         np.testing.assert_allclose(m1.centre, m2.centre)
         x = np.array([0.3, 0.5, 0.7])
         assert np.isclose(m1(x), m2(x))
+
+
+def _mw_worker_loop(save_dir, worker, iters, seed, barrier=None):
+    """Claim/complete loop over the shared swarm on a synthetic gauss
+    objective (runs in a separate PROCESS — top-level for picklability)."""
+    rng = np.random.default_rng(seed)
+    lims = {"g": {f"x{i}": [0.0, 1.0] for i in range(3)}}
+    metric = SyntheticMetric(
+        "gauss", np.tile([[0.0, 1.0]], (3, 1)), rng, save_dir
+    )
+    pool = MultiWorkerPSO(
+        lims, save_dir, worker=worker, T=1e6, lease_ttl=60.0, seed=5
+    )
+    if barrier is not None:
+        barrier.wait()
+    done = 0
+    while done < iters:
+        work = pool.claim()
+        if work is None:
+            continue
+        x = np.asarray([work["hparams"]["g"][f"x{i}"] for i in range(3)])
+        ok = pool.complete(work["particle"], float(metric.gauss(x)))
+        assert ok
+        done += 1
+
+
+class TestMultiWorkerPSO:
+    """Concurrent structural-hparam PSO: particle leasing over the shared
+    atomic state (the scale-out the reference's file-per-particle CSVs
+    hinted at but never coordinated, reference:
+    optimization/particle_swarm_optimization_wrapper.py:119-378)."""
+
+    def test_two_concurrent_workers(self, tmp_path):
+        import multiprocessing as mp
+
+        save = str(tmp_path / "mw")
+        ctx = mp.get_context("fork")
+        barrier = ctx.Barrier(2)
+        procs = [
+            ctx.Process(
+                target=_mw_worker_loop, args=(save, f"w{i}", 30, 100 + i,
+                                              barrier)
+            )
+            for i in range(2)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=120)
+            assert p.exitcode == 0
+        # all 60 evaluations accounted for, exactly once each
+        pool = MultiWorkerPSO(
+            {"g": {f"x{i}": [0.0, 1.0] for i in range(3)}},
+            save, worker="check", T=1e6, seed=5,
+        )
+        with pool._locked() as payload:
+            assert payload["state"]["t"] == 60
+            assert payload["leases"] == []  # none live at the end
+        # both workers contributed; swarm made progress on the objective
+        import csv
+
+        with open(pool.history_path) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 60
+        assert {r["worker"] for r in rows} == {"w0", "w1"}
+        assert pool.best_score < 1.0
+
+    def test_claims_cover_all_particles_without_overlap(self, tmp_path):
+        save = str(tmp_path / "mw")
+        lims = {"g": {"x0": [0.0, 1.0]}}
+        a = MultiWorkerPSO(lims, save, worker="a", T=1e6, seed=1)
+        b = MultiWorkerPSO(lims, save, worker="b", T=1e6, seed=1)
+        claims = [a.claim(), b.claim(), a.claim(), b.claim(), a.claim()]
+        particles = [c["particle"] for c in claims]
+        assert sorted(particles) == [0, 1, 2, 3, 4]  # all 5, no overlap
+        assert b.claim() is None  # swarm fully leased
+        assert a.complete(particles[0], 0.5)
+        nxt = b.claim()  # the freed slot is claimable again
+        assert nxt is not None and nxt["particle"] == particles[0]
+
+    def test_lease_expiry_requeues_and_stale_complete_ignored(self, tmp_path):
+        import time as _time
+
+        save = str(tmp_path / "mw")
+        lims = {"g": {"x0": [0.0, 1.0], "x1": [0.0, 1.0]}}
+        dead = MultiWorkerPSO(lims, save, worker="dead", T=1e6,
+                              lease_ttl=0.05, seed=2)
+        w = dead.claim()
+        assert w is not None
+        _time.sleep(0.1)  # the worker "crashes": lease expires
+        alive = MultiWorkerPSO(lims, save, worker="alive", T=1e6,
+                               lease_ttl=60.0, seed=2)
+        claimed = {alive.claim()["particle"] for _ in range(5)}
+        assert w["particle"] in claimed  # re-queued after expiry
+        # the dead worker's late completion must NOT touch the swarm
+        assert not dead.complete(w["particle"], 0.123)
+        with alive._locked() as payload:
+            assert payload["state"]["t"] == 0
+            assert 0.123 not in payload["state"]["best_score"]
+
+    def test_kill_resume_midswarm(self, tmp_path):
+        """A worker SIGKILLed mid-evaluation leaves consistent state; a
+        fresh worker finishes the budget (the reference's
+        watch_optimization.py crash/relaunch contract, multi-process)."""
+        import multiprocessing as mp
+        import os as _os
+        import signal as _signal
+        import time as _time
+
+        save = str(tmp_path / "mw")
+        ctx = mp.get_context("fork")
+        p = ctx.Process(
+            target=_mw_worker_loop, args=(save, "victim", 1000, 7)
+        )
+        p.start()
+        # let it complete at least a few evaluations, then kill mid-flight
+        deadline = _time.time() + 60
+        t_seen = 0
+        pool = MultiWorkerPSO(
+            {"g": {f"x{i}": [0.0, 1.0] for i in range(3)}},
+            save, worker="probe", T=1e6, lease_ttl=0.5, seed=5,
+        )
+        while _time.time() < deadline and t_seen < 3:
+            with pool._locked() as payload:
+                t_seen = payload["state"]["t"]
+            _time.sleep(0.02)
+        assert t_seen >= 3
+        _os.kill(p.pid, _signal.SIGKILL)
+        p.join()
+        # fresh worker drives the swarm onward past the orphaned lease
+        _mw_worker_loop(save, "resumer", 10, 9)
+        with pool._locked() as payload:
+            assert payload["state"]["t"] >= t_seen + 10
+            live = [l for l in payload["leases"]
+                    if l["worker"] == "resumer"]
+            assert live == []
+
+    def test_run_worker_structural_hparams_end_to_end(self, tmp_path):
+        """run_worker drives structural hyper-parameters (update_interval,
+        tof_pix_size — reference run_optimization.py:80-104) through
+        apply_hparams into per-evaluation configs, concurrently safely."""
+        lims = {
+            "occ_grid": {"update_interval": [2.0, 32.0]},
+            "ToF": {"tof_pix_size": [1.0, 16.0]},
+        }
+        seen = []
+
+        def train_and_eval(cfg, it):
+            # structural values must arrive rounded to ints
+            assert isinstance(cfg.occ_grid.update_interval, int)
+            assert isinstance(cfg.tof.tof_pix_size, int)
+            assert 2 <= cfg.occ_grid.update_interval <= 32
+            seen.append(cfg.occ_grid.update_interval)
+            score = abs(cfg.occ_grid.update_interval - 8) + abs(
+                cfg.tof.tof_pix_size - 4
+            )
+            return {"NeRF": {"nn_mean": {"zone3": float(score)}}}
+
+        pool = run_worker(
+            Config(), lims, str(tmp_path / "mw"), train_and_eval,
+            worker="w0", T=1e6, max_iters=25,
+        )
+        assert len(seen) == 25
+        assert np.isfinite(pool.best_score)
+        with pool._locked() as payload:
+            assert payload["state"]["t"] == 25
 
 
 class TestApplyHparams:

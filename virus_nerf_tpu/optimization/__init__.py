@@ -9,6 +9,8 @@ from virus_nerf_tpu.optimization.metric import SyntheticMetric  # noqa: F401
 from virus_nerf_tpu.optimization.pso import (  # noqa: F401
     DEFAULT_PSO_PARAMS,
     HParamSpace,
+    Lease,
+    MultiWorkerPSO,
     ParticleSwarmOptimization,
     PSOState,
     PSOWrapper,
@@ -28,5 +30,6 @@ from virus_nerf_tpu.optimization.parallel_eval import (  # noqa: F401
 from virus_nerf_tpu.optimization.runner import (  # noqa: F401
     apply_hparams,
     run_optimization,
+    run_worker,
     score_from_metrics,
 )

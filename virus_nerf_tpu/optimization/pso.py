@@ -21,6 +21,7 @@ optimization/particle_swarm_optimization_wrapper.py:10-573), redesigned:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -186,6 +187,39 @@ class ParticleSwarmOptimization:
         vel = np.where((pos < 0) | (pos > 1), -vel, vel)
         s.pos[n] = np.clip(pos, 0.0, 1.0)
         s.vel[n] = vel
+
+    # --------------------------------------------------- per-particle API
+    def ask_particle(self, n: int) -> Tuple[np.ndarray, bool]:
+        """Velocity/position update + epsilon-greedy choice for particle
+        ``n`` explicitly (no round-robin cursor) — the unit of work a
+        multi-worker pool leases out (see :class:`MultiWorkerPSO`).
+
+        Returns:
+            (position to evaluate, exploring flag).
+        """
+        s = self.state
+        self._update_particle(n)
+        if s.best_count[n] == 0 or self.rng.random() < self.params["prob_explore"]:
+            return s.pos[n].copy(), True
+        return s.best_pos[n].copy(), False
+
+    def tell_particle(self, n: int, exploring: bool, score: float):
+        """Report the score of particle ``n``'s pending evaluation (the
+        per-particle counterpart of :meth:`tell`; same update rules,
+        reference: pso.py:72-91)."""
+        s = self.state
+        if exploring:
+            if score < s.best_score[n]:
+                s.best_score[n] = score
+                s.best_pos[n] = s.pos[n]
+                s.best_count[n] = 1
+        else:
+            s.best_score[n] = (s.best_count[n] * s.best_score[n] + score) / (
+                s.best_count[n] + 1
+            )
+            s.best_count[n] += 1
+        s.t += 1
+        s.rng_state = self.rng.bit_generator.state
 
     # ------------------------------------------------- batch-synchronous API
     def ask_all(self) -> np.ndarray:
@@ -409,3 +443,297 @@ class PSOWrapper:
         ] + [f"{vals[k]:.8g}" for k in self.space.order]
         with open(self.history_path, "a") as f:
             f.write(",".join(row) + "\n")
+
+
+@dataclasses.dataclass
+class Lease:
+    """A worker's claim on one particle's pending evaluation."""
+
+    particle: int
+    worker: str
+    deadline: float  # unix time after which the lease may be re-claimed
+    pos: List[float]  # the position under evaluation (normalized)
+    exploring: bool
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "Lease":
+        return Lease(
+            particle=int(d["particle"]),
+            worker=str(d["worker"]),
+            deadline=float(d["deadline"]),
+            pos=[float(x) for x in d["pos"]],
+            exploring=bool(d["exploring"]),
+        )
+
+
+class MultiWorkerPSO:
+    """Concurrent multi-worker PSO over the same atomic-JSON swarm state.
+
+    The reference evaluates particles strictly serially in one process
+    (reference: optimization/particle_swarm_optimization_wrapper.py:119-378
+    — its file-per-particle CSVs *could* shard across processes but nothing
+    coordinates them).  Structural hyper-parameters (occ-grid update
+    interval, tof_pix_size, pixel shares — reference
+    run_optimization.py:80-104) change compiled program shapes, so they
+    cannot ride the vmapped population evaluator
+    (optimization/parallel_eval.py); the scale-out shape for them is **one
+    training process per device group over DCN**, all sharing this state.
+
+    Protocol (every step runs under an exclusive ``flock`` on
+    ``pso_state.lock`` and re-reads the state file, so workers never act on
+    a stale snapshot):
+
+    - :meth:`claim`: expire stale leases, pick the least-recently-evaluated
+      unleased particle, apply the velocity/position update + the
+      epsilon-greedy explore/exploit choice (`ask_particle`), and record a
+      lease with a TTL.
+    - :meth:`complete`: if the lease is still owned, apply the score
+      (`tell_particle`), drop the lease, persist, append history.  A stale
+      worker completing a lease that expired and was re-claimed is ignored
+      (logged in history with particle ``-1``) — evaluations are idempotent
+      to re-run, so at-least-once semantics are safe.
+    - :meth:`renew`: extend a long evaluation's lease mid-run.
+
+    A killed worker simply stops renewing: its lease expires and another
+    worker re-claims the particle — the multi-process analogue of the
+    reference's ``watch_optimization.py`` relaunch loop.  The lock file is
+    per-directory, so multi-host workers need the save dir on a shared
+    filesystem whose ``flock`` is coherent (or one worker group per host
+    with distinct save dirs merged offline).
+    """
+
+    def __init__(
+        self,
+        hparams_lims: "str | Dict",
+        save_dir: str,
+        worker: str,
+        T: float = 36000.0,
+        termination_by_time: bool = True,
+        lease_ttl: float = 3600.0,
+        pso_params: Optional[dict] = None,
+        seed: int = 21,
+    ):
+        self.space = (
+            HParamSpace.from_json(hparams_lims)
+            if isinstance(hparams_lims, str)
+            else HParamSpace(hparams_lims)
+        )
+        self.save_dir = save_dir
+        self.worker = str(worker)
+        self.T = T
+        self.termination_by_time = termination_by_time
+        self.lease_ttl = float(lease_ttl)
+        self.pso_params = pso_params
+        self.seed = seed
+        self.time_start = time.time()
+        os.makedirs(save_dir, exist_ok=True)
+        self.state_path = os.path.join(save_dir, "pso_state.json")
+        self.lock_path = os.path.join(save_dir, "pso_state.lock")
+        self.history_path = os.path.join(save_dir, "pso_history.csv")
+        # create-or-validate the shared state once at startup
+        with self._locked() as payload:
+            self._write(payload)
+
+    # ------------------------------------------------------------- locking
+    @contextlib.contextmanager
+    def _locked(self):
+        """Exclusive cross-process critical section; yields the CURRENT
+        state payload (creating it on first use)."""
+        import fcntl
+
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield self._load()
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _load(self) -> dict:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                payload = json.load(f)
+        else:
+            pso = ParticleSwarmOptimization(
+                num_dimensions=self.space.num_dimensions,
+                params=self.pso_params,
+                rng=np.random.default_rng(self.seed),
+            )
+            pso.state.rng_state = pso.rng.bit_generator.state
+            payload = {
+                "pso_params": pso.params,
+                "hparams_order": self.space.order,
+                "state": pso.state.to_json(),
+                "leases": [],
+                "last_claimed": [0.0] * pso.N,
+            }
+        payload.setdefault("leases", [])
+        n = len(payload["state"]["pos"])
+        payload.setdefault("last_claimed", [0.0] * n)
+        if not os.path.exists(self.history_path):
+            with open(self.history_path, "w") as f:
+                f.write(
+                    ",".join(
+                        ["iteration", "particle", "exploring", "score",
+                         "time", "worker"]
+                        + self.space.order
+                    )
+                    + "\n"
+                )
+        return payload
+
+    def _write(self, payload: dict):
+        tmp = f"{self.state_path}.{self.worker}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self.state_path)
+
+    def _pso_from(self, payload: dict) -> ParticleSwarmOptimization:
+        state = PSOState.from_json(payload["state"])
+        rng = np.random.default_rng(self.seed)
+        return ParticleSwarmOptimization(
+            num_dimensions=self.space.num_dimensions,
+            params=payload["pso_params"],
+            rng=rng,
+            state=state,
+        )
+
+    # ----------------------------------------------------------------- API
+    def claim(self) -> Optional[dict]:
+        """Lease the next particle to evaluate.
+
+        Returns ``{"particle", "pos", "exploring", "hparams"}`` or ``None``
+        when every particle is currently leased (back off and retry) or the
+        budget is exhausted.
+        """
+        now = time.time()
+        with self._locked() as payload:
+            if self._terminated(payload, now):
+                return None
+            leases = [Lease.from_json(d) for d in payload["leases"]]
+            live = [l for l in leases if l.deadline > now]
+            taken = {l.particle for l in live}
+            pso = self._pso_from(payload)
+            last = payload["last_claimed"]
+            candidates = [
+                n for n in range(pso.N) if n not in taken
+            ]
+            if not candidates:
+                return None
+            n = min(candidates, key=lambda i: last[i])
+            pos, exploring = pso.ask_particle(n)
+            pso.state.rng_state = pso.rng.bit_generator.state
+            live.append(
+                Lease(
+                    particle=n,
+                    worker=self.worker,
+                    deadline=now + self.lease_ttl,
+                    pos=[float(x) for x in pos],
+                    exploring=exploring,
+                )
+            )
+            last[n] = now
+            payload["state"] = pso.state.to_json()
+            payload["leases"] = [l.to_json() for l in live]
+            payload["last_claimed"] = last
+            self._write(payload)
+            return {
+                "particle": n,
+                "pos": pos,
+                "exploring": exploring,
+                "hparams": self.space.to_group_dict(pos),
+            }
+
+    def renew(self, particle: int):
+        """Extend this worker's lease on ``particle`` by one TTL."""
+        now = time.time()
+        with self._locked() as payload:
+            changed = False
+            for d in payload["leases"]:
+                if d["particle"] == particle and d["worker"] == self.worker:
+                    d["deadline"] = now + self.lease_ttl
+                    changed = True
+            if changed:
+                self._write(payload)
+
+    def complete(self, particle: int, score: float) -> bool:
+        """Report the leased evaluation's score.  Returns False (and leaves
+        the swarm untouched) when the lease expired and was re-claimed by
+        another worker in the meantime."""
+        now = time.time()
+        with self._locked() as payload:
+            leases = [Lease.from_json(d) for d in payload["leases"]]
+            mine = [
+                l for l in leases
+                if l.particle == particle and l.worker == self.worker
+            ]
+            others = [
+                l for l in leases
+                if not (l.particle == particle and l.worker == self.worker)
+            ]
+            if not mine:
+                self._history_row(payload, -1, False, score, None)
+                return False
+            lease = mine[-1]
+            pso = self._pso_from(payload)
+            # the lease's pos is authoritative: a later claim may have moved
+            # pos[particle] (only possible through a stale double-claim),
+            # and the score belongs to the position that was evaluated
+            if lease.exploring:
+                pso.state.pos[particle] = np.asarray(lease.pos, np.float64)
+            pso.tell_particle(particle, lease.exploring, float(score))
+            payload["state"] = pso.state.to_json()
+            payload["state"]["elapsed"] = self._elapsed(payload, now)
+            payload["leases"] = [l.to_json() for l in others]
+            self._write(payload)
+            self._history_row(payload, particle, lease.exploring, score,
+                              lease.pos)
+            return True
+
+    def _elapsed(self, payload: dict, now: float) -> float:
+        # track wall time from the swarm's first claim ever
+        t0 = payload.setdefault("time_origin", now)
+        return float(now - t0)
+
+    def _terminated(self, payload: dict, now: float) -> bool:
+        if self.termination_by_time:
+            return self._elapsed(payload, now) >= self.T
+        return payload["state"]["t"] >= self.T
+
+    def terminated(self) -> bool:
+        with self._locked() as payload:
+            return self._terminated(payload, time.time())
+
+    def _history_row(self, payload: dict, particle: int, exploring: bool,
+                     score: float, pos: Optional[List[float]]):
+        if pos is not None:
+            nd = self.space.to_name_dict(np.asarray(pos, np.float64))
+        else:  # stale completion: no authoritative position
+            nd = {name: float("nan") for name in self.space.order}
+        row = [
+            str(payload["state"]["t"]),
+            str(particle),
+            str(int(exploring)),
+            f"{score:.8g}",
+            f"{payload['state'].get('elapsed', 0.0):.3f}",
+            self.worker,
+        ] + [f"{nd[k]:.8g}" for k in self.space.order]
+        with open(self.history_path, "a") as f:
+            f.write(",".join(row) + "\n")
+
+    # -------------------------------------------------------------- results
+    @property
+    def best_hparams(self) -> Dict[str, float]:
+        with self._locked() as payload:
+            st = PSOState.from_json(payload["state"])
+        i = int(np.argmin(st.best_score))
+        return self.space.to_name_dict(st.best_pos[i])
+
+    @property
+    def best_score(self) -> float:
+        with self._locked() as payload:
+            st = PSOState.from_json(payload["state"])
+        return float(np.min(st.best_score))

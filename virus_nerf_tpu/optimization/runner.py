@@ -148,3 +148,58 @@ def run_optimization(
         metrics = train_and_eval(cfg, it)
         terminate = pso.update(score_from_metrics(metrics))
     return pso
+
+
+def run_worker(
+    base_cfg: Config,
+    hparams_lims,
+    save_dir: str,
+    train_and_eval: Callable[[Config, int], dict],
+    worker: str,
+    T: float = 36000.0,
+    termination_by_time: bool = True,
+    lease_ttl: float = 3600.0,
+    max_iters: Optional[int] = None,
+    idle_wait: float = 1.0,
+    seed: int = 21,
+):
+    """One PSO worker process: claim → train+evaluate → complete, until the
+    shared budget is exhausted.
+
+    This is the concurrent path for STRUCTURAL hyper-parameters (occ-grid
+    update interval, tof_pix_size, pixel shares — reference
+    run_optimization.py:80-104): each value combination compiles its own
+    program shape, so particles run as independent training processes —
+    typically one per host/device group over DCN — coordinated only through
+    the leased swarm state (:class:`MultiWorkerPSO`).  Launch N copies with
+    distinct ``worker`` ids and the same ``save_dir``; any of them may be
+    killed and relaunched (the lease TTL re-queues its particle), which
+    replaces the reference's watch_optimization.py relaunch loop.
+
+    Returns the :class:`MultiWorkerPSO` handle (with .best_hparams/.best_score).
+    """
+    from virus_nerf_tpu.optimization.pso import MultiWorkerPSO
+
+    pool = MultiWorkerPSO(
+        hparams_lims, save_dir, worker=worker, T=T,
+        termination_by_time=termination_by_time, lease_ttl=lease_ttl,
+        seed=seed,
+    )
+    it = 0
+    while max_iters is None or it < max_iters:
+        work = pool.claim()
+        if work is None:
+            if pool.terminated():
+                break
+            time.sleep(idle_wait)  # all particles leased: wait for a slot
+            continue
+        it += 1
+        cfg = apply_hparams(base_cfg, work["hparams"])
+        cfg.seed = base_cfg.seed + work["particle"] + 1
+        logger.info(
+            f"PSO worker {worker}: particle {work['particle']} "
+            f"(exploring={work['exploring']})"
+        )
+        metrics = train_and_eval(cfg, it)
+        pool.complete(work["particle"], score_from_metrics(metrics))
+    return pool

@@ -51,6 +51,13 @@ def main(argv=None):
     p.add_argument("--T", type=float, default=36000.0,
                    help="wall-time budget in seconds (reference: T=36000)")
     p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--worker-id", default=None,
+                   help="run as ONE worker of a concurrent pool sharing "
+                        "--save-dir (structural-hparam scale-out over "
+                        "processes; launch several with distinct ids)")
+    p.add_argument("--lease-ttl", type=float, default=3600.0,
+                   help="seconds before a worker's claimed particle is "
+                        "re-queued (worker mode)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -67,12 +74,22 @@ def main(argv=None):
             raise RuntimeError("device memory low — resumable state saved")
         return metrics
 
-    pso = run_optimization(
-        cfg, lims, args.save_dir, objective,
-        T=args.T, termination_by_time=True,
-        rng=np.random.default_rng(cfg.seed),
-        max_iters=args.max_iters,
-    )
+    if args.worker_id is not None:
+        from virus_nerf_tpu.optimization import run_worker
+
+        pso = run_worker(
+            cfg, lims, args.save_dir, objective,
+            worker=args.worker_id, T=args.T, termination_by_time=True,
+            lease_ttl=args.lease_ttl, max_iters=args.max_iters,
+            seed=cfg.seed,
+        )
+    else:
+        pso = run_optimization(
+            cfg, lims, args.save_dir, objective,
+            T=args.T, termination_by_time=True,
+            rng=np.random.default_rng(cfg.seed),
+            max_iters=args.max_iters,
+        )
     print(f"best score: {pso.best_score:.4f}")
     print(f"best hparams: {pso.best_hparams}")
     return pso
