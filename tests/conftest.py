@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-bound on the 1-core CI
+# box (fused-chunk equivalence tests each build multi-hundred-op programs);
+# caching executables across runs cuts repeat wall-clock
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("VNERF_TEST_CACHE", "/root/.cache/jax_comp_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
