@@ -163,6 +163,42 @@ class TestHashEncoder:
         packed = np.asarray(hash_encode(table, xyz, spec))
         np.testing.assert_allclose(packed, base, rtol=0, atol=1.0 / 128)
 
+    def test_packed_ci_gather_matches_wide_gather(self, rng):
+        """The corner-major packed gather (`_gather_rows_packed_ci`,
+        consuming the widen-pack kernel's [c, i, f] lane layout) must
+        select exactly the same widened rows as the plain wide-slab
+        gather.  The kernel itself is TPU-only (bench.py check_kernels
+        validates it bit-exactly); this covers the consumer arithmetic
+        and the layout contract on CPU."""
+        import virus_nerf_tpu.ops.hash_encoder as he
+        from virus_nerf_tpu.ops.widen_pack_pallas import packed_ci_rows
+
+        size = 2 * 8192
+        wide = rng.random((size, 16)).astype(np.float32)
+        wide_bf = np.asarray(jnp.asarray(wide).astype(jnp.bfloat16))
+        # [c, i, f] lane layout in the kernel's band-permuted row order:
+        # scatter every base row through the row map
+        qs, js = (
+            np.asarray(x)
+            for x in packed_ci_rows(
+                jnp.arange(size, dtype=jnp.int32), size // 8
+            )
+        )
+        ci = np.zeros((size // 8, 128), dtype=wide_bf.dtype)
+        for c in range(8):
+            for f in range(2):
+                ci[qs, 16 * c + 2 * js + f] = wide_bf[:, 2 * c + f]
+        rows = jnp.asarray(rng.integers(0, size, size=257).astype(np.int32))
+        got = np.asarray(
+            he._gather_rows_packed_ci(
+                jnp.asarray(ci), rows, 2
+            ).astype(jnp.float32)
+        )
+        want = np.asarray(
+            jnp.take(jnp.asarray(wide_bf), rows, axis=0).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_gradient_is_scatter_add(self, rng):
         spec = HashGridSpec.create(
             levels=2, feat_dim=2, base_res=4, max_res=8, max_params=2**9

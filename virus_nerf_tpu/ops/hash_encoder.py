@@ -231,6 +231,33 @@ def _same_size_level_groups(spec: HashGridSpec):
     return [(k[0], k[1], k[2], ls) for k, ls in groups]
 
 
+class PackedCI:
+    """A packed bf16 gather slab emitted by the widen-pack Pallas kernel:
+    (size/8, 128) rows, CORNER-major lane layout [c, i, f] (see
+    ops/widen_pack_pallas.py module doc).  Wrapped so the gather path can
+    tell it apart from a plain (size, 8F) wide slab."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
+def _pack_kernel_on() -> bool:
+    # Default OFF: the widen-pack kernel is bit-exact but LOSES in-train
+    # (58.2k vs 116.9k rays/s on the bench config) — the int32 bit-pair
+    # output must cross an XLA bitcast+reshape boundary whose 16-bit
+    # relayout (lane-paired pairs vs the TPU's row-paired bf16 tiles)
+    # fully materializes once the gathers consume the slab.  Kept as an
+    # env-gated experiment; see tools/PERF_NOTES.md round 4.
+    import os
+
+    return (
+        tpu_kernels_enabled()
+        and os.environ.get("VNERF_PACK_KERNEL", "0") == "1"
+    )
+
+
 def build_wide_slabs(table, spec: HashGridSpec):
     """Derive per-level widened slabs W_l (size_l, 8*F): row r holds the
     features of the 8 corner rows {r + o_k mod size_l}.
@@ -242,32 +269,63 @@ def build_wide_slabs(table, spec: HashGridSpec):
     batched (G, s, 8F) group build measured ~1.5% SLOWER end to end — the
     per-level `wide[j]` slices feeding the gathers re-materialize the slabs
     (tools/PERF_NOTES.md r3).
+
+    On TPU, levels served by the packed bf16 gather skip the wide
+    intermediate entirely: a same-size group builds its `PackedCI` slabs
+    in ONE Pallas pass straight from the narrow table rows
+    (ops/widen_pack_pallas.py), eliminating the per-level copy+reshape
+    pack relayouts (~4.6 ms/step on the bench config, round-3 profile).
     """
+    from virus_nerf_tpu.ops.widen_pack_pallas import (
+        pack_kernel_applicable,
+        packed_slabs_group,
+    )
+
     F = spec.feat_dim
     # 2-D tables pass through untouched; flat ones (legacy/test callers)
     # pay the row-major unflatten here
     table2d = table if table.ndim == 2 else table.reshape(spec.total_rows, F)
-    slabs = []
-    for lvl in range(spec.levels):
-        s = spec.sizes[lvl]
-        o = spec.offsets[lvl]
-        slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
-        if slab.dtype == jnp.float32 and _packable_size(s, F):
-            # levels served by the packed bf16 gather build their widened
-            # slab in bf16 from the start: rolls are pure permutations, so
-            # this is BIT-IDENTICAL to casting after the build while
-            # halving the build and pack-relayout bandwidth
-            slab = slab.astype(jnp.bfloat16)
-        # Doubling tree: corner offset o_c = (c&1)*1 + ((c>>1)&1)*cy +
-        # ((c>>2)&1)*cz, so three widen-by-roll steps produce all eight
-        # corners in corner order (x fastest).  A padded 2-D roll costs one
-        # full-tile pass regardless of logical width, so 3 rolls beat 7.
-        wide = slab
-        for stride in (1, spec.stride_y[lvl], spec.stride_z[lvl]):
-            wide = jnp.concatenate(
-                [wide, jnp.roll(wide, -int(stride % s), axis=0)], axis=1
+    use_pack_kernel = _pack_kernel_on() and table2d.dtype == jnp.float32
+    corner_offs = spec.corner_offsets if use_pack_kernel else None
+    slabs = [None] * spec.levels
+    for size, _sy, _sz, lvls in _same_size_level_groups(spec):
+        if (
+            use_pack_kernel
+            and _packable_size(size, F)
+            and pack_kernel_applicable(size, F)
+        ):
+            packed = packed_slabs_group(
+                table2d,
+                spec.offsets[lvls[0]],
+                size,
+                len(lvls),
+                corner_offs[lvls[0]],
             )
-        slabs.append(wide)  # (s, 8F)
+            for j, lvl in enumerate(lvls):
+                slabs[lvl] = PackedCI(packed[j])
+            continue
+        for lvl in lvls:
+            s = spec.sizes[lvl]
+            o = spec.offsets[lvl]
+            slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
+            if slab.dtype == jnp.float32 and _packable_size(s, F):
+                # levels served by the packed bf16 gather build their
+                # widened slab in bf16 from the start: rolls are pure
+                # permutations, so this is BIT-IDENTICAL to casting after
+                # the build while halving the build and pack-relayout
+                # bandwidth
+                slab = slab.astype(jnp.bfloat16)
+            # Doubling tree: corner offset o_c = (c&1)*1 + ((c>>1)&1)*cy +
+            # ((c>>2)&1)*cz, so three widen-by-roll steps produce all eight
+            # corners in corner order (x fastest).  A padded 2-D roll costs
+            # one full-tile pass regardless of logical width, so 3 rolls
+            # beat 7.
+            wide = slab
+            for stride in (1, spec.stride_y[lvl], spec.stride_z[lvl]):
+                wide = jnp.concatenate(
+                    [wide, jnp.roll(wide, -int(stride % s), axis=0)], axis=1
+                )
+            slabs[lvl] = wide  # (s, 8F)
     return slabs
 
 
@@ -303,6 +361,30 @@ def _gather_rows_packed_bf16(slab, rows_local):
         j[:, None] == jnp.arange(P, dtype=jnp.int32)
     ).astype(jnp.bfloat16)  # (N, P)
     return jnp.einsum("nj,njf->nf", sel, gp.reshape(n, P, wdt))
+
+
+def _gather_rows_packed_ci(packed, rows_local, F: int):
+    """Row gather from a kernel-built `PackedCI` slab.
+
+    Same fast contiguous row-major gather as `_gather_rows_packed_bf16`,
+    but the 128-lane rows are corner-major ([c, i, f]) in the widen-pack
+    kernel's band-permuted row order — `packed_ci_rows` is the row map
+    (ops/widen_pack_pallas.py module doc).  Returns (N, 8F) bf16 in the
+    c-major column order the trilerp expects.
+    """
+    from virus_nerf_tpu.ops.widen_pack_pallas import packed_ci_rows
+
+    P = 8
+    n = rows_local.shape[0]
+    q, j = packed_ci_rows(rows_local, packed.shape[0])
+    gp = jnp.take(packed, q, axis=0, mode="clip")  # (N, 128)
+    sel = (
+        j[:, None] == jnp.arange(P, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)  # (N, P)
+    out = jnp.einsum(
+        "ni,ncif->ncf", sel, gp.reshape(n, 8, P, F)
+    )  # (N, 8, F) corner-major
+    return out.reshape(n, 8 * F)
 
 
 def _packable_size(size: int, F: int) -> bool:
@@ -348,7 +430,9 @@ def _fused_gather_combine(slabs, rows, w, spec: HashGridSpec):
     outs = []
     for lvl in range(spec.levels):
         local = rows[lvl] - spec.offsets[lvl]
-        if _packable(slabs[lvl], spec.sizes[lvl], F):
+        if isinstance(slabs[lvl], PackedCI):
+            g = _gather_rows_packed_ci(slabs[lvl].arr, local, F)
+        elif _packable(slabs[lvl], spec.sizes[lvl], F):
             g = _gather_rows_packed_bf16(slabs[lvl], local)  # (N, 8F) bf16
         else:
             g = _gather_rows_f32view(slabs[lvl], local)  # (N, 8F)
