@@ -103,6 +103,34 @@ def check_kernels() -> bool:
             print(f"# segment_sum {name} mismatch: {err:.3e}")
             ok = False
 
+    def _check_fused(name, wgt, sk, rows, feat):
+        """Fused factor-stream kernel vs the f-major outer-product oracle
+        (bf16-rounded factors, exact windowed sum)."""
+        nonlocal ok
+        got = np.asarray(
+            jax.jit(
+                lambda a, b: _ssp._sorted_group_segment_sum_tsf_tpu(
+                    a, b, rows, feat
+                )
+            )(wgt, sk)
+        )
+        wr = np.asarray(wgt.astype(jnp.bfloat16).astype(jnp.float32))
+        V = np.concatenate(
+            [wr[:, :8] * wr[:, 8 + f: 9 + f] for f in range(feat)], axis=1
+        )
+        want = np.stack(
+            [
+                _seg_oracle(
+                    jnp.asarray(V[g].T), sk[g], rows, False
+                )
+                for g in range(wgt.shape[0])
+            ]
+        )
+        err = np.max(np.abs(got - want))
+        if err > 1e-3:
+            print(f"# segment_sum fused {name} mismatch: {err:.3e}")
+            ok = False
+
     # windowed segment sum, BOTH kernel layouts x BOTH stream modes
     # (incl. a skewed level — exercises empty blocks + the prefetch guard)
     G, K, R, F = 2, 8192, 2**14, 16
@@ -113,6 +141,8 @@ def check_kernels() -> bool:
     for ts in (False, True):
         for hilo in (False, True):
             _check_seg(f"ts={ts} hilo={hilo}", sv, sk, R, ts, hilo)
+    wgt = jax.random.normal(jax.random.PRNGKey(21), (G, 10, K), jnp.float32)
+    _check_fused("skewed", wgt, sk, R, 2)
 
     # non-block-aligned rows (a dense hash level size): internal padding;
     # both layouts in the production stream mode
@@ -124,6 +154,8 @@ def check_kernels() -> bool:
     sv2 = jax.random.normal(jax.random.PRNGKey(5), (1, K2, F), jnp.float32)
     for ts in (False, True):
         _check_seg(f"padded-rows ts={ts}", sv2, sk2, R2, ts, _ssp._HILO)
+    wgt2 = jax.random.normal(jax.random.PRNGKey(22), (1, 10, K2), jnp.float32)
+    _check_fused("padded-rows", wgt2, sk2, R2, 2)
 
     # ODD n_blocks with G > 1 and dense multi-chunk blocks: a group's last
     # block and the next group's block 0 run on consecutive linearized
@@ -136,6 +168,8 @@ def check_kernels() -> bool:
     sv3 = jax.random.normal(jax.random.PRNGKey(9), (3, K3, F), jnp.float32)
     for ts in (False, True):
         _check_seg(f"odd-blocks ts={ts}", sv3, sk3, R3, ts, _ssp._HILO)
+    wgt3 = jax.random.normal(jax.random.PRNGKey(23), (3, 10, K3), jnp.float32)
+    _check_fused("odd-blocks", wgt3, sk3, R3, 2)
 
     # merged multi-size concatenated stream (mirrors _emit_merged in the
     # hash backward: per-segment sorted keys offset by ascending bases form
@@ -157,6 +191,10 @@ def check_kernels() -> bool:
     )
     for ts in (False, True):
         _check_seg(f"merged ts={ts}", sv4, sk4, base, ts, _ssp._HILO)
+    wgt4 = jax.random.normal(
+        jax.random.PRNGKey(24), (1, 10, sk4.shape[1]), jnp.float32
+    )
+    _check_fused("merged", wgt4, sk4, base, 2)
 
     # packed bf16 forward gather vs the plain row gather on a big slab
     # (the packed path engages only for slabs >= 2^17 rows, which CPU

@@ -307,6 +307,51 @@ class TestWindowedSegmentSum:
         np.testing.assert_allclose(got[7], sv.sum(0), rtol=1e-4)
         assert np.all(got[np.arange(R) != 7] == 0)
 
+    def test_fused_factor_stream_matches_dense(self, rng):
+        """`group_segment_sum_tsf_sorted` consumes the raw (8+F)-row
+        factor stream and must equal the dense scatter of the f-major
+        outer products; `_fold_wide_t_fmajor` must then agree with the
+        c-major `_fold_wide_t` on the row-reordered tensor (the full
+        layout contract of the fused backward path on CPU, where the
+        Pallas kernel itself never traces — bench.py check_kernels
+        covers that half on TPU)."""
+        from virus_nerf_tpu.ops.hash_encoder import (
+            _fold_wide_t,
+            _fold_wide_t_fmajor,
+        )
+        from virus_nerf_tpu.ops.segment_sum_pallas import (
+            group_segment_sum_tsf_sorted,
+        )
+
+        G, K, R, F = 2, 1024, 2048, 2
+        sk = np.sort(rng.integers(0, R, (G, K)).astype(np.int32), axis=1)
+        wgt = rng.normal(size=(G, 8 + F, K)).astype(np.float32)
+        got = np.asarray(
+            group_segment_sum_tsf_sorted(
+                jnp.asarray(wgt), jnp.asarray(sk), R, F
+            )
+        )  # (G, 8F, R) f-major
+        ref = np.zeros((G, 8 * F, R), np.float64)
+        for g in range(G):
+            for f in range(F):
+                for c in range(8):
+                    np.add.at(
+                        ref[g, f * 8 + c], sk[g],
+                        (wgt[g, c] * wgt[g, 8 + f]).astype(np.float64),
+                    )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+        # fold contract: f-major fold == c-major fold after row reorder
+        sy, sz = 37, 1005
+        dt_f = jnp.asarray(got.astype(np.float32))
+        cmajor = np.zeros_like(got)
+        for f in range(F):
+            for c in range(8):
+                cmajor[:, c * F + f] = got[:, f * 8 + c]
+        a = np.asarray(_fold_wide_t_fmajor(dt_f, sy, sz, R, F))
+        b = np.asarray(_fold_wide_t(jnp.asarray(cmajor.astype(np.float32)), sy, sz, R))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
 
 class TestXorHashVariant:
     """Reference XOR fast-hash bit-parity (VERDICT round-1 item 4: the

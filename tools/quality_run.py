@@ -56,6 +56,12 @@ def main():
     p.add_argument("--force-full-hier", action="store_true",
                    help="disable march probe compaction (_FORCE_FULL_HIER "
                         "quality A/B validating _PROBE_BUDGET)")
+    p.add_argument("--curve-every", type=int, default=0, metavar="STEPS",
+                   help="time-to-quality mode: train in STEPS-sized "
+                        "segments and record (step, cumulative train "
+                        "seconds, NeRF nn_mean zone3) after each — eval "
+                        "time excluded from the clock (reference budget "
+                        "enforcement: training/trainer.py:95,159-160)")
     args = p.parse_args()
 
     import jax
@@ -122,13 +128,41 @@ def main():
     test_ds = subset(dataset, sel_test)
 
     trainer = Trainer(cfg, train_ds, scene=scene, img_wh=info["img_wh"])
-    tic = time.time()
-    state = trainer.train()
-    train_s = time.time() - tic
-    steps = int(state.step)
-    rays_per_sec = steps * cfg.training.batch_size / train_s
-
     ev = Evaluator(trainer.model, cfg, test_ds, scene, img_wh=info["img_wh"])
+    curve = []
+    if args.curve_every > 0:
+        # segmented training: the train clock accumulates only training
+        # wall time; evaluations between segments are off the clock.  The
+        # first segment carries the one-time jit compile (reported so the
+        # table can show compile-inclusive and exclusive numbers).
+        total_steps = cfg.training.max_steps
+        state = trainer.init_state()
+        train_s = 0.0
+        seg = max(1, args.curve_every * 4096 // args.batch_size)
+        while int(state.step) < total_steps:
+            cfg.training.max_steps = min(int(state.step) + seg, total_steps)
+            tic = time.time()
+            state = trainer.train(state)
+            train_s += time.time() - tic
+            m, _ = ev.evaluate_depth(
+                state.params, state.grid.occ_bool,
+                np.arange(test_ds.n_images), sensors=("GT", "NeRF"),
+            )
+            curve.append({
+                "step": int(state.step),
+                "train_seconds": round(train_s, 2),
+                "nn_mean_zone3": float(m["NeRF"]["nn_mean"]["zone3"]),
+            })
+            print(json.dumps(curve[-1]), flush=True)
+        cfg.training.max_steps = total_steps
+        steps = int(state.step)
+        rays_per_sec = steps * cfg.training.batch_size / train_s
+    else:
+        tic = time.time()
+        state = trainer.train()
+        train_s = time.time() - tic
+        steps = int(state.step)
+        rays_per_sec = steps * cfg.training.batch_size / train_s
     eval_occ = (
         jnp.ones_like(state.grid.occ_bool)
         if args.eval_occ == "ones"
@@ -169,6 +203,8 @@ def main():
     if color_ones is not None:
         out["psnr_occ_ones"] = float(color_ones["psnr"])
         out["ssim_occ_ones"] = float(color_ones["ssim"])
+    if curve:
+        out["quality_curve"] = curve
     for sensor in ("NeRF", "ToF", "USS"):
         if sensor not in metrics:
             continue

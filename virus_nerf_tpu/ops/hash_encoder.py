@@ -43,6 +43,8 @@ table with eight inverse rolls.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -53,9 +55,11 @@ import numpy as np
 
 from virus_nerf_tpu.ops.common import tpu_kernels_enabled
 from virus_nerf_tpu.ops.segment_sum_pallas import (
+    fuse_applicable,
     group_segment_sum_t,
     group_segment_sum_t_sorted,
     group_segment_sum_ts_sorted,
+    group_segment_sum_tsf_sorted,
     kernel_applicable,
     stream_dtype,
     transposed_stream,
@@ -567,6 +571,25 @@ def _fold_wide_t(dt, sy: int, sz: int, s: int):
     return dt
 
 
+def _fold_wide_t_fmajor(dt, sy: int, sz: int, s: int, F: int):
+    """`_fold_wide_t` for the FUSED kernel's F-major row order (row
+    f*8 + c, see `_tsf_kernel`): each f-block of 8 rows is a pure-corner
+    axis, folded with the same three halve-by-roll steps.  Per-block
+    8-row-aligned slices instead of a (..., F, 8, s) reshape — the
+    sublane-split reshape measured as a 1.3 ms/step layout copy on the
+    bench config."""
+    outs = []
+    for f in range(F):
+        blk = dt[..., 8 * f: 8 * f + 8, :]
+        for stride in (sz, sy, 1):
+            half = blk.shape[-2] // 2
+            blk = blk[..., :half, :] + jnp.roll(
+                blk[..., half:, :], int(stride % s), axis=-1
+            )
+        outs.append(blk)  # (..., 1, s)
+    return jnp.concatenate(outs, axis=-2)  # (..., F, s)
+
+
 def _hash_encode_bwd(spec: HashGridSpec, res, g):
     rows, w, table_carrier = res  # rows: (L, N); w: (L, 8, N)
     table_dtype = table_carrier.dtype
@@ -576,6 +599,23 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
 
     use_kernel = tpu_kernels_enabled()
     use_ts = use_kernel and transposed_stream() and ts_applicable(8 * F)
+    # fused factor stream (VNERF_WSS_FUSE): hand the kernel the raw
+    # sorted (8 + F)-row weight/gradient factors and form the
+    # outer-product values on the VPU inside it (`_tsf_kernel`) — the
+    # XLA-side (K, 8F) wide-gradient build, its permute and its pad/copy
+    # all disappear.  bf16-stream mode only (the product would need the
+    # hi/lo split applied after the multiply).  Default OFF: bit-exact vs
+    # the unfused path but measured NEUTRAL in-train (115.4k vs 116.9k
+    # rays/s at the bench config) — the per-level chains it removes were
+    # already fused into the per-row-bound permute gathers by XLA, so
+    # only the kernel-boundary layout differences remain (tools/
+    # PERF_NOTES.md round 4).
+    use_fuse = (
+        use_ts
+        and fuse_applicable(F)
+        and stream_dtype() == jnp.bfloat16
+        and os.environ.get("VNERF_WSS_FUSE", "0") == "1"
+    )
     # the kernel consumes the gradient stream in bf16 (VNERF_WSS_HILO=0
     # default); building the per-level value chains in bf16 from the start
     # halves the outer-product / permute-take / stack bandwidth instead of
@@ -616,8 +656,30 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         # kernel DMAs (8F, W) chunks with no 128-lane pad
         return _take_sorted(lvl).T
 
+    def _take_sorted_wgt(lvl):
+        # fused FACTOR stream (16, K): the level's sorted corner weights
+        # stacked over its sorted gradient features — the kernel builds
+        # the outer product itself, so no (K, 8F) value matrix exists.
+        # Zero-padded to the 16-row bf16 sublane tile BEFORE the gather:
+        # a (K, 8+F) take + transpose at 10 rows is sublane-misaligned
+        # and measured ~2.4 ms/step slower than the aligned 16-row form
+        # (gather cost is per-ROW, so the 6 dead lanes are free)
+        pad = jnp.zeros((n, 16 - 8 - F), sdt)
+        return jnp.take(
+            jnp.concatenate([w_s[lvl].T, g_s[:, lvl], pad], axis=1),
+            sp_all[lvl],
+            axis=0,
+        ).T
+
     def _emit_group(dwt, sy, sz, size, blocks):
         ft = _fold_wide_t(dwt, sy, sz, size)  # (G, F, size)
+        blocks.append(
+            ft.transpose(0, 2, 1).reshape(dwt.shape[0] * size, F)
+        )
+
+    def _emit_group_f(dwt, sy, sz, size, blocks):
+        # F-major row order from the fused kernel
+        ft = _fold_wide_t_fmajor(dwt, sy, sz, size, F)  # (G, F, size)
         blocks.append(
             ft.transpose(0, 2, 1).reshape(dwt.shape[0] * size, F)
         )
@@ -631,21 +693,38 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         concatenated Sum(size) output rows."""
         if len(buf) == 1:
             size, sy, sz, lvl = buf[0]
-            if use_ts:
+            if use_fuse:
+                dwt = group_segment_sum_tsf_sorted(
+                    _take_sorted_wgt(lvl)[None], sk_all[lvl][None], size, F
+                )
+                _emit_group_f(dwt, sy, sz, size, blocks)
+            elif use_ts:
                 dwt = group_segment_sum_ts_sorted(
                     _take_sorted_t(lvl)[None], sk_all[lvl][None], size
                 )
+                _emit_group(dwt, sy, sz, size, blocks)
             else:
                 dwt = group_segment_sum_t_sorted(
                     _take_sorted(lvl)[None], sk_all[lvl][None], size
                 )
-            _emit_group(dwt, sy, sz, size, blocks)
+                _emit_group(dwt, sy, sz, size, blocks)
             return
         bases = np.cumsum([0] + [b[0] for b in buf])
         total = int(bases[-1])
         sk_m = jnp.concatenate(
             [sk_all[b[3]] + jnp.int32(bases[i]) for i, b in enumerate(buf)]
         )
+        if use_fuse:
+            sv_m = jnp.concatenate(
+                [_take_sorted_wgt(b[3]) for b in buf], axis=1
+            )
+            out = group_segment_sum_tsf_sorted(
+                sv_m[None], sk_m[None], total, F
+            )
+            for i, (size, sy, sz, lvl) in enumerate(buf):
+                b0 = int(bases[i])
+                _emit_group_f(out[:, :, b0:b0 + size], sy, sz, size, blocks)
+            return
         if use_ts:
             sv_m = jnp.concatenate(
                 [_take_sorted_t(b[3]) for b in buf], axis=1
@@ -677,13 +756,20 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
             # (segment_sum_pallas module doc): (G, 8F, size) dense sums,
             # ONE batched lane-roll fold for the whole group, one
             # (G, F, size) -> (G, size, F) transpose
-            if use_ts:
+            if use_fuse:
+                svt = jnp.stack([_take_sorted_wgt(lvl) for lvl in lvls])
+                dwt = group_segment_sum_tsf_sorted(
+                    svt, sk_all[idx], size, F
+                )
+                _emit_group_f(dwt, sy, sz, size, blocks)
+            elif use_ts:
                 svt = jnp.stack([_take_sorted_t(lvl) for lvl in lvls])
                 dwt = group_segment_sum_ts_sorted(svt, sk_all[idx], size)
+                _emit_group(dwt, sy, sz, size, blocks)
             else:
                 sv = jnp.stack([_take_sorted(lvl) for lvl in lvls])
                 dwt = group_segment_sum_t_sorted(sv, sk_all[idx], size)
-            _emit_group(dwt, sy, sz, size, blocks)
+                _emit_group(dwt, sy, sz, size, blocks)
         else:
             gv_g = jnp.stack(
                 [gv_level(lvl) for lvl in lvls]

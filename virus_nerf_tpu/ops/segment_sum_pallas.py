@@ -330,6 +330,215 @@ def _ts_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
     out_ref[0] = acc_ref[:]
 
 
+def _tsf_kernel(starts_ref, sk_hbm, sv_hbm, out_ref, sk_vmem, sv_vmem,
+                acc_ref, sems, *, F: int, Kp: int, n_blocks: int, G: int,
+                B: int, W: int, SUB: int, RV: int, FEAT: int):
+    """FUSED-stream variant of `_ts_kernel`: the stream carries the RAW
+    per-sample factors — rows 0..7 the eight trilinear corner weights,
+    rows 8..8+FEAT the gradient features, both key-sorted — and the
+    kernel forms the outer-product value matrix ``V[f*8+c, k] =
+    w[c, k] * g[f, k]`` on the VPU right before the MXU contraction.
+
+    This removes the XLA-side per-level value-prep chains entirely (the
+    materialized (K, 8F) wide-gradient stream, its permute-gather, and
+    its pad/copy — ~7 ms/step on the bench config, r3 profile): only the
+    (8+FEAT)-row factor stream is permuted and streamed.  The product is
+    the same bf16 x bf16 multiply the XLA prep performs, so results are
+    bit-identical to the unfused VNERF_WSS_HILO=0 path.
+
+    Output rows are F-MAJOR (row f*8+c), the natural order of the
+    in-kernel build (corner-major would need a sublane interleave of the
+    per-feature products); the hash backward folds it with
+    `_fold_wide_t_fmajor`.  Pipelining/skip logic is identical to
+    `_ts_kernel`, including the linearized-parity slot pairing.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    p0 = starts_ref[g, b]
+    p1 = starts_ref[g, b + 1]
+    c0 = (p0 // W) * W
+    n_chunks = jnp.where(p1 > p0, (p1 - c0 + W - 1) // W, 0)
+
+    def copies(gg, c0x, c, slot):
+        off = pl.multiple_of(c0x + c * W, W)
+        koff = pl.multiple_of(gg * Kp + off, W)
+        return (
+            pltpu.make_async_copy(
+                sk_hbm.at[pl.ds(koff, W)],
+                sk_vmem.at[pl.ds(slot * W, W)],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                sv_hbm.at[gg, :, pl.ds(off, W)], sv_vmem.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    base = 2 * jax.lax.rem(g * n_blocks + b, 2)
+
+    @pl.when((g == 0) & (b == 0) & (n_chunks > 0))
+    def _():
+        for cp in copies(g, c0, 0, base):
+            cp.start()
+
+    nb = b + 1
+    ng = jnp.where(nb == n_blocks, g + 1, g)
+    nbb = jnp.where(nb == n_blocks, 0, nb)
+
+    @pl.when(ng < G)
+    def _():
+        np0 = starts_ref[ng, nbb]
+        np1 = starts_ref[ng, nbb + 1]
+        nc0 = (np0 // W) * W
+
+        @pl.when(np1 > np0)
+        def _():
+            for cp in copies(ng, nc0, 0, 2 - base):
+                cp.start()
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def body(c, carry):
+        slot = base + jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in copies(g, c0, c + 1, base + jax.lax.rem(c + 1, 2)):
+                cp.start()
+
+        for cp in copies(g, c0, c, slot):
+            cp.wait()
+        off = pl.multiple_of(c0 + c * W, W)
+        sk_view = sk_vmem.at[pl.ds(slot * W, W)]
+        sv_view = sv_vmem.at[slot]
+        for sub in range(W // SUB):
+            lo = off + sub * SUB
+
+            @pl.when((lo + SUB > p0) & (lo < p1))
+            def _():
+                local = sk_view[pl.ds(sub * SUB, SUB)] - b * B
+                A = (
+                    local[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (SUB, B), 1)
+                ).astype(jnp.bfloat16)
+                ws = sv_view[pl.ds(0, 8), pl.ds(sub * SUB, SUB)]
+                # V build: FEAT broadcast-multiplies of the (8, SUB)
+                # corner block, concatenated along 8-row-aligned sublanes
+                V = jnp.concatenate(
+                    [
+                        ws * sv_view[pl.ds(8 + f, 1), pl.ds(sub * SUB, SUB)]
+                        for f in range(FEAT)
+                    ],
+                    axis=0,
+                )  # (8*FEAT, SUB) bf16, f-major rows
+                acc_ref[:] += jax.lax.dot_general(
+                    V, A, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (8*FEAT, B)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0] = acc_ref[:]
+
+
+def fuse_applicable(feat_dim: int) -> bool:
+    """Fused-stream eligibility: the (8 + F)-row factor stream must fit
+    one 16-row bf16 sublane tile and the (8F, B) product one MXU pass."""
+    return 8 + feat_dim <= 16 and 8 * feat_dim <= 128
+
+
+def _sorted_group_segment_sum_tsf_tpu(wgt, sk, n_rows: int, feat_dim: int):
+    """Fused-stream entry: wgt (G, 8 + F, K) bf16 — rows 0..7 sorted
+    corner weights, rows 8..8+F sorted gradient features."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, RV, K = wgt.shape
+    B, SUB = _B, _SUB
+    n_pad = ((n_rows + B - 1) // B) * B
+    W = _W_SMALL if n_pad // B <= _SMALL_BLOCKS else _W
+    svp = wgt.astype(jnp.bfloat16)
+    RVp = 16  # bf16 sublane tile (fuse_applicable guarantees RV <= 16)
+    Kp = ((K + 1 + W - 1) // W) * W
+    svp = jnp.pad(svp, ((0, 0), (0, RVp - RV), (0, Kp - K)))
+    skp = jnp.pad(
+        sk, ((0, 0), (0, Kp - K)), constant_values=n_rows
+    ).reshape(-1)
+
+    n_blocks = n_pad // B
+    block_edges = jnp.arange(n_blocks + 1, dtype=jnp.int32) * B
+    starts = jax.vmap(lambda k: jnp.searchsorted(k, block_edges))(sk)
+
+    OF = 8 * feat_dim
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OF, B), lambda g, b, s: (g, 0, b),
+            memory_space=pltpu.MemorySpace.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4 * W,), jnp.int32),
+            pltpu.VMEM((4, RVp, W), jnp.bfloat16),
+            pltpu.VMEM((OF, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_tsf_kernel, F=OF, Kp=Kp, n_blocks=n_blocks, G=G,
+                B=B, W=W, SUB=SUB, RV=RVp, FEAT=feat_dim),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, OF, n_pad), jnp.float32),
+    )(starts.astype(jnp.int32), skp, svp)
+    return out[:, :, :n_rows] if n_pad != n_rows else out
+
+
+def group_segment_sum_tsf_sorted(wgt, sk, n_rows: int, feat_dim: int):
+    """Fused-stream segment sum: consumes the raw sorted FACTOR stream
+    (corner weights + gradient features) and forms the outer-product
+    values inside the kernel (see `_tsf_kernel`).
+
+    Args:
+        wgt: (G, 8 + F, K) factor stream, each level sorted by its key
+            (rows 0..7 corner weights, rows 8..8+F gradient features).
+        sk: (G, K) int32 sorted row ids in [0, n_rows).
+    Returns:
+        (G, 8F, n_rows) f32 sums, F-MAJOR rows (row f*8 + c).
+    """
+    G, RV, K = wgt.shape
+    if (
+        tpu_kernels_enabled()
+        and kernel_applicable(n_rows, 8 * feat_dim)
+        and fuse_applicable(feat_dim)
+    ):
+        return _sorted_group_segment_sum_tsf_tpu(wgt, sk, n_rows, feat_dim)
+    # fallback: form V in XLA (f-major) and reuse the windowed oracle
+    V = jnp.concatenate(
+        [
+            wgt[:, :8, :] * wgt[:, 8 + f: 9 + f, :]
+            for f in range(feat_dim)
+        ],
+        axis=1,
+    )  # (G, 8F, K)
+    out = jnp.stack(
+        [
+            _windowed_segment_sum_jnp(
+                V[g].T.astype(jnp.float32), sk[g], n_rows
+            )
+            for g in range(G)
+        ]
+    )
+    return out.transpose(0, 2, 1)
+
+
 def _sorted_group_segment_sum_ts_tpu(svt, sk, n_rows: int):
     """Transposed-stream entry: svt (G, F, K), samples in lanes."""
     from jax.experimental import pallas as pl
