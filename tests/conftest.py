@@ -32,6 +32,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: heavy redundant-coverage tests skipped in the default CI "
+        "run (the suite is trace/compile-bound on the 1-core CI box); "
+        "run them with VNERF_FULL_TESTS=1 (VERDICT r3 item 8 — the "
+        "quality floors and the march/composite oracles stay in the "
+        "default run)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("VNERF_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="marked 'full': run with VNERF_FULL_TESTS=1"
+    )
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(21)

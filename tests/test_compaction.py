@@ -4,6 +4,7 @@ the compacted render must equal the dense render exactly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from virus_nerf_tpu.models import NGPModel, render_rays
 
@@ -27,6 +28,7 @@ def _setup():
     return model, params, occ, rays_o, rays_d
 
 
+@pytest.mark.full  # default run keeps gradient-flow + payload-overflow compaction tests
 def test_budget_covers_all_matches_dense():
     model, params, occ, rays_o, rays_d = _setup()
     key = jax.random.PRNGKey(1)

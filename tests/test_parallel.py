@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from virus_nerf_tpu.data import make_synthetic_dataset
 from virus_nerf_tpu.parallel import make_dp_train_step, make_mesh
@@ -80,6 +81,7 @@ def test_dp_chunk_grid_update_replicates():
     )
 
 
+@pytest.mark.full  # default run keeps the SPMD-swarm equality in test_optimization
 def test_population_parallel_eval(tmp_path):
     """Batch-synchronous PSO with the concurrent population evaluator: all
     particles of an iteration train at once, one per CPU-mesh device

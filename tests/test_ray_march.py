@@ -169,6 +169,7 @@ def test_composite_matches_reference(rng):
         assert int(out.vr_samples[r]) == count
 
 
+@pytest.mark.full  # default run keeps the reference-oracle + exactness march tests
 def test_super_coarse_preprobe_is_output_invariant(rng, monkeypatch):
     """On the UNCOMPACTED hierarchical path (_FORCE_FULL_HIER) the
     _SUPER_STRIDE pre-probe only masks provably-empty stride-4 probe
@@ -294,6 +295,7 @@ def test_payload_matches_exact_with_overflow(rng, monkeypatch):
         np.asarray(pay.deltas), np.asarray(exact.deltas))
 
 
+@pytest.mark.full  # knob sweep; quadrature parity held by test_march_matches_reference
 def test_march_resolution_knob(rng):
     """march_resolution=512 doubles dt (sqrt(3)/512) and must produce
     exactly the in-range occupied candidates of the halved lattice — checked

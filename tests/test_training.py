@@ -299,6 +299,7 @@ def test_grouped_chunk_matches_cond_chunk():
     )
 
 
+@pytest.mark.full  # default run covers ngp via test_train_loop_decreases_loss[ngp]
 def test_ngp_fused_chunk_matches_stepwise():
     """The NGP grid's scan-fused post-warmup chunk (VERDICT r2 item 8) must
     be bit-identical to the per-step path: ngp update at each
@@ -338,6 +339,7 @@ def test_ngp_fused_chunk_matches_stepwise():
     )
 
 
+@pytest.mark.full  # default run covers the warmup->fused switch in test_train_loop_decreases_loss[ngp]
 def test_ngp_train_switches_to_fused():
     """train() on the ngp grid runs stepwise only through warmup, then the
     fused chunk loop finishes the run."""
