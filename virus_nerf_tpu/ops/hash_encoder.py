@@ -615,16 +615,27 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         and fuse_applicable(F)
         and stream_dtype() == jnp.bfloat16
         and os.environ.get("VNERF_WSS_FUSE", "0") == "1"
+        # the in-kernel bf16(w) x bf16(g) product is precision-equivalent
+        # to the early factor cast — require that mode explicitly
+        and os.environ.get("VNERF_WSS_EARLY_BF16", "0") == "1"
     )
     # the kernel consumes the gradient stream in bf16 (VNERF_WSS_HILO=0
-    # default); building the per-level value chains in bf16 from the start
-    # halves the outer-product / permute-take / stack bandwidth instead of
-    # rounding at the kernel boundary.  Gated on kernel APPLICABILITY, not
-    # just availability: with feat_dim > 8 every group takes the XLA
-    # fallback, which would consume pre-rounded bf16 products for no
-    # bandwidth benefit (ADVICE r3)
+    # default).  WHERE the bf16 rounding happens matters for quality:
+    # pre-casting the FACTORS (w, g) to bf16 double-rounds — bf16(w) x
+    # bf16(g), the trilinear weights themselves losing 16 mantissa bits —
+    # while an f32 outer product rounded ONCE at the kernel boundary
+    # keeps the product exact to the final rounding.  The early cast
+    # landed unmeasured in the r3 end-of-round snapshot and cost ~12%
+    # converged mapping NND (3-seed band 0.243 +- 0.009 vs the 0.217
+    # boundary-rounded anchor, BASELINE.md round 4); it is now opt-in
+    # via VNERF_WSS_EARLY_BF16=1 (its bandwidth saving measured inside
+    # the in-train noise band).  Gated on kernel APPLICABILITY, not just
+    # availability: with feat_dim > 8 every group takes the XLA fallback,
+    # which would consume pre-rounded bf16 products for no bandwidth
+    # benefit (ADVICE r3)
     kernel_any = use_kernel and kernel_applicable(max(spec.sizes), 8 * F)
-    sdt = stream_dtype() if kernel_any else jnp.float32
+    early_bf16 = os.environ.get("VNERF_WSS_EARLY_BF16", "0") == "1"
+    sdt = stream_dtype() if (kernel_any and early_bf16) else jnp.float32
     w_s = w.astype(sdt)
     g_s = g.astype(sdt)
 
