@@ -108,6 +108,7 @@ def test_march_subsampling_covers_range(rng):
     assert ts[-1] > 0.9 * hits[0, 1]
 
 
+@pytest.mark.full  # fast-path==exact equivalence also held by the payload-overflow test
 def test_hierarchical_matches_exact(rng):
     """The dilated-coarse fast path must reproduce the exact per-candidate
     march bit-for-bit when no ray overflows (K % stride != 0 disables the

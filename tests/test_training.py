@@ -133,6 +133,7 @@ def test_train_loop_decreases_loss(grid_type):
     assert np.isfinite(losses[-1])
 
 
+@pytest.mark.full  # RGBD loss unit-tested; the USS/ToF mapping-quality floor runs every time
 def test_train_depth_converges():
     """After training with depth supervision, rendered depth along training
     rays should approach the RGBD ground truth."""
