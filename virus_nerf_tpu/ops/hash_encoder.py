@@ -624,12 +624,14 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     # pre-casting the FACTORS (w, g) to bf16 double-rounds — bf16(w) x
     # bf16(g), the trilinear weights themselves losing 16 mantissa bits —
     # while an f32 outer product rounded ONCE at the kernel boundary
-    # keeps the product exact to the final rounding.  The early cast
-    # landed unmeasured in the r3 end-of-round snapshot and cost ~12%
-    # converged mapping NND (3-seed band 0.243 +- 0.009 vs the 0.217
-    # boundary-rounded anchor, BASELINE.md round 4); it is now opt-in
-    # via VNERF_WSS_EARLY_BF16=1 (its bandwidth saving measured inside
-    # the in-train noise band).  Gated on kernel APPLICABILITY, not just
+    # keeps the product exact to the final rounding.  A 5-seed-per-arm
+    # converged study (BASELINE.md round 4) found the two modes
+    # statistically indistinguishable (0.239 +- 0.024 vs 0.246 +- 0.014
+    # mean NND z3) and the early cast's bandwidth saving inside the
+    # in-train noise band (117.3 vs 116.6k rays/s) — boundary rounding
+    # is the default on principle (round once, late), with the early
+    # cast opt-in via VNERF_WSS_EARLY_BF16=1.  Gated on kernel
+    # APPLICABILITY, not just
     # availability: with feat_dim > 8 every group takes the XLA fallback,
     # which would consume pre-rounded bf16 products for no bandwidth
     # benefit (ADVICE r3)
