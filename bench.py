@@ -221,6 +221,47 @@ def check_kernels() -> bool:
         print(f"# packed gather mismatch: {err_p:.3e}")
         ok = False
 
+    # widen-pack kernel (env-gated experiment, VNERF_PACK_KERNEL=1):
+    # packed_slabs_group output must match the roll-built wide slab
+    # scattered through packed_ci_rows — bit-exact, per the layout
+    # contract in widen_pack_pallas.py (same oracle construction as the
+    # CPU-side test_packed_ci_gather_matches_wide_gather, but running the
+    # real Mosaic kernel)
+    from virus_nerf_tpu.ops.widen_pack_pallas import (
+        packed_ci_rows,
+        packed_slabs_group,
+    )
+
+    wp_size, wp_g = 2 * 8192, 2
+    wp_offs = (0, 1, 37, 38, 1369, 1370, 1406, 1407)  # static corner rows
+    wp_tab = jax.random.normal(
+        jax.random.PRNGKey(12), (64 + wp_g * wp_size + 16, 2), jnp.float32
+    )
+    got_wp = np.asarray(
+        jax.jit(
+            lambda t: packed_slabs_group(t, 64, wp_size, wp_g, wp_offs)
+        )(wp_tab).astype(jnp.float32)
+    )
+    tab_bf = np.asarray(wp_tab.astype(jnp.bfloat16).astype(jnp.float32))
+    qs, js = (
+        np.asarray(x)
+        for x in packed_ci_rows(
+            jnp.arange(wp_size, dtype=jnp.int32), wp_size // 8
+        )
+    )
+    base_r = np.arange(wp_size)
+    err_wp = 0.0
+    for g_ in range(wp_g):
+        ci = np.zeros((wp_size // 8, 128), np.float32)
+        for c, o in enumerate(wp_offs):
+            src = tab_bf[64 + g_ * wp_size + (base_r + o) % wp_size]
+            for f in range(2):
+                ci[qs, 16 * c + 2 * js + f] = src[:, f]
+        err_wp = max(err_wp, float(np.max(np.abs(got_wp[g_] - ci))))
+    if err_wp > 0:
+        print(f"# widen-pack slab mismatch: {err_wp:.3e}")
+        ok = False
+
     # fused adam: pallas vs jnp, one big flat leaf
     n = 1 << 21
     g = jax.random.normal(key, (n,), jnp.float32)

@@ -257,6 +257,48 @@ class TestMultiWorkerPSO:
             assert payload["state"]["t"] == 0
             assert 0.123 not in payload["state"]["best_score"]
 
+    def test_expired_lease_reclaim_moves_particle_once(self, tmp_path):
+        """A claim -> expire -> re-claim cycle re-issues the STORED lease
+        position without a second velocity update: one velocity update per
+        evaluation, matching the reference dynamics
+        (reference: optimization/particle_swarm_optimization.py:47-70)."""
+        import time as _time
+
+        save = str(tmp_path / "mw")
+        lims = {"g": {"x0": [0.0, 1.0], "x1": [0.0, 1.0]}}
+        dead = MultiWorkerPSO(lims, save, worker="dead", T=1e6,
+                              lease_ttl=0.05, seed=3)
+        w = dead.claim()
+        assert w is not None
+        with dead._locked() as payload:
+            pos_after_first = np.array(payload["state"]["pos"])
+            vel_after_first = np.array(payload["state"]["vel"])
+        _time.sleep(0.1)  # lease expires un-completed
+        alive = MultiWorkerPSO(lims, save, worker="alive", T=1e6,
+                               lease_ttl=60.0, seed=3)
+        re = None
+        for _ in range(5):
+            c = alive.claim()
+            if c["particle"] == w["particle"]:
+                re = c
+                break
+        assert re is not None
+        # the re-claim hands out the identical pending evaluation ...
+        np.testing.assert_allclose(re["pos"], w["pos"])
+        assert re["exploring"] == w["exploring"]
+        # ... and particle state took exactly ONE momentum step: the
+        # re-claim left pos/vel of the expired particle untouched
+        with alive._locked() as payload:
+            pos_now = np.array(payload["state"]["pos"])
+            vel_now = np.array(payload["state"]["vel"])
+        n = w["particle"]
+        np.testing.assert_allclose(pos_now[n], pos_after_first[n])
+        np.testing.assert_allclose(vel_now[n], vel_after_first[n])
+        # completing the re-issued lease applies the score normally
+        assert alive.complete(n, 0.25)
+        with alive._locked() as payload:
+            assert payload["state"]["t"] == 1
+
     def test_kill_resume_midswarm(self, tmp_path):
         """A worker SIGKILLed mid-evaluation leaves consistent state; a
         fresh worker finishes the budget (the reference's

@@ -254,8 +254,6 @@ def _pack_kernel_on() -> bool:
     # relayout (lane-paired pairs vs the TPU's row-paired bf16 tiles)
     # fully materializes once the gathers consume the slab.  Kept as an
     # env-gated experiment; see tools/PERF_NOTES.md round 4.
-    import os
-
     return (
         tpu_kernels_enabled()
         and os.environ.get("VNERF_PACK_KERNEL", "0") == "1"

@@ -615,6 +615,16 @@ class MultiWorkerPSO:
                 return None
             leases = [Lease.from_json(d) for d in payload["leases"]]
             live = [l for l in leases if l.deadline > now]
+            # expired leases keep their pending evaluation: the velocity/
+            # position update already ran at the ORIGINAL claim, so a
+            # re-claim must re-issue the stored position rather than run
+            # ask_particle again (which would take a second momentum step
+            # for a single evaluation — one velocity update per evaluation,
+            # reference: optimization/particle_swarm_optimization.py:47-70)
+            expired: Dict[int, Lease] = {}
+            for l in leases:
+                if l.deadline <= now:
+                    expired[l.particle] = l
             taken = {l.particle for l in live}
             pso = self._pso_from(payload)
             last = payload["last_claimed"]
@@ -624,8 +634,16 @@ class MultiWorkerPSO:
             if not candidates:
                 return None
             n = min(candidates, key=lambda i: last[i])
-            pos, exploring = pso.ask_particle(n)
+            if n in expired:
+                pos = np.asarray(expired[n].pos, np.float64)
+                exploring = expired[n].exploring
+            else:
+                pos, exploring = pso.ask_particle(n)
             pso.state.rng_state = pso.rng.bit_generator.state
+            # retain other particles' expired leases (their pending
+            # evaluations survive until re-claimed); n's own, if any, is
+            # superseded by the fresh lease below
+            live.extend(l for p, l in expired.items() if p != n)
             live.append(
                 Lease(
                     particle=n,
