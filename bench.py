@@ -306,10 +306,24 @@ def main():
     _wait_for_backend()
     kernels_ok = check_kernels() if jax.default_backend() == "tpu" else None
 
+    import os
+
     cfg = Config()
     cfg.model.grid_type = "occ"
     cfg.model.grid_size = 128
-    cfg.model.hash_levels = 16
+    # RH2 config-family bench (scale > 0.5 -> cascades >= 2, exponential
+    # stepping, multi-cascade payload march): VNERF_BENCH_SCALE=1.0
+    cfg.model.scale = float(os.environ.get("VNERF_BENCH_SCALE", "0.5"))
+    # TPU-native hash layout (roofline route 1): 8 levels x F=4 halves the
+    # per-sample gather count vs the reference's 16 x F=2 at the same
+    # embedding width.  Measured r5: 176.4k vs 117.3k rays/s (+50%), with
+    # converged quality statistically indistinguishable over 5 paired
+    # seeds (0.230 +- 0.018 vs 0.239 +- 0.024 mean NND z3 — BASELINE.md).
+    # Override with VNERF_BENCH_LEVELS/FEATS=16/2 for the reference layout.
+    cfg.model.hash_levels = int(os.environ.get("VNERF_BENCH_LEVELS", "8"))
+    cfg.model.hash_features_per_level = int(
+        os.environ.get("VNERF_BENCH_FEATS", "4")
+    )
     cfg.model.hash_log2_T = 19
     cfg.model.hash_max_res = 1024
     cfg.training.batch_size = 4096

@@ -296,6 +296,54 @@ def test_payload_matches_exact_with_overflow(rng, monkeypatch):
         np.asarray(pay.deltas), np.asarray(exact.deltas))
 
 
+@pytest.mark.parametrize(
+    "scale,cascades,grid_size",
+    [(1.0, 2, 128), (2.0, 3, 32), (4.0, 4, 64)],
+)
+def test_payload_mc_matches_exact(rng, monkeypatch, scale, cascades,
+                                  grid_size):
+    """The multi-cascade / exponential-stepping payload march must be
+    BIT-identical to the exact per-candidate path: mip-mismatched
+    candidates and span-infeasible groups take the exact fallback inside
+    _payload_mc, so equality must hold even for rays whose absolute t
+    rides the dt cap (origins far outside the cube)."""
+    from virus_nerf_tpu.ops import ray_march as rm
+
+    esf = 1 / 256
+    n_rays = 48
+    occ = rng.random((cascades, grid_size**3)) < 0.3
+    o = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * scale
+    # far-origin tail: forces clipped mips / large dt (fallback coverage)
+    o[n_rays // 2:] += np.sign(o[n_rays // 2:]) * (3.0 * scale + 5.0)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    noise = rng.random(n_rays).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), scale)
+    args = (jnp.asarray(o), jnp.asarray(d), hits, jnp.asarray(occ),
+            jnp.asarray(noise))
+    kw = dict(cascades=cascades, grid_size=grid_size, scale=scale,
+              exp_step_factor=esf, max_samples=2048, n_candidates=2048)
+
+    calls = []
+    real_build = rm.build_group_payload
+    monkeypatch.setattr(
+        rm, "build_group_payload",
+        lambda *a: (calls.append(1), real_build(*a))[1],
+    )
+    pay = march_rays_train(*args, **kw)
+    assert calls, "payload_mc path was not taken (gate vacuous)"
+
+    monkeypatch.setattr(rm, "_DISABLE_PAYLOAD", True)
+    exact = march_rays_train(*args, **kw)
+    assert int(exact.total_samples) > 0
+
+    for field in ("n_samples", "valid", "ts", "deltas"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pay, field)),
+            np.asarray(getattr(exact, field)),
+        )
+
+
 @pytest.mark.full  # knob sweep; quadrature parity held by test_march_matches_reference
 def test_march_resolution_knob(rng):
     """march_resolution=512 doubles dt (sqrt(3)/512) and must produce

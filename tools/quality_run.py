@@ -42,6 +42,15 @@ def main():
     p.add_argument("--batch-size", type=int, default=4096,
                    help="rays per step (throughput-scaling ablation; "
                         "steps are scaled down to keep total rays fixed)")
+    p.add_argument("--hash-levels", type=int, default=8,
+                   help="hash-table layout A/B (roofline route 1): "
+                        "levels x feats at fixed L*F keeps the embedding "
+                        "width; fewer levels halve the gather count")
+    p.add_argument("--hash-feats", type=int, default=4,
+                   help="features per level (see --hash-levels)")
+    p.add_argument("--hash-log2t", type=int, default=19,
+                   help="log2 rows per hashed level (capacity knob for "
+                        "layout A/Bs)")
     p.add_argument("--seed", type=int, default=21)
     p.add_argument("--save-renders", default=None, metavar="DIR",
                    help="export per-test-image rgb/depth pngs (reference: "
@@ -85,8 +94,9 @@ def main():
     cfg.model.hash_variant = args.hash_variant
     cfg.model.grid_type = "occ"
     cfg.model.grid_size = 128
-    cfg.model.hash_levels = 16
-    cfg.model.hash_log2_T = 19
+    cfg.model.hash_levels = args.hash_levels
+    cfg.model.hash_features_per_level = args.hash_feats
+    cfg.model.hash_log2_T = args.hash_log2t
     cfg.model.hash_max_res = 1024
     cfg.training.batch_size = args.batch_size
     cfg.training.max_samples_per_ray = args.max_samples
@@ -187,6 +197,9 @@ def main():
 
     out = {
         "hash_variant": args.hash_variant,
+        "hash_levels": args.hash_levels,
+        "hash_feats": args.hash_feats,
+        "hash_log2t": args.hash_log2t,
         "samples_per_ray": args.samples_per_ray,
         "max_samples": args.max_samples,
         "march_resolution": args.march_resolution,

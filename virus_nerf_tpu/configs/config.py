@@ -90,9 +90,11 @@ class TrainingConfig:
     # lower values coarsen dt proportionally — set march_candidates to the
     # same value so the lattice still spans the cube diagonal.
     march_resolution: int = 1024
-    # Global compacted-sample budget per batch (None disables compaction):
-    # the model runs only on this many (valid-first) samples of the
-    # (batch_size, max_samples_per_ray) layout.
+    # Global compacted-sample budget per batch: the model runs only on this
+    # many (valid-first) samples of the (batch_size, max_samples_per_ray)
+    # layout.  None = "auto" (batch_size * min(32, max_samples_per_ray) —
+    # quality-validated vs the exact dense path, BASELINE.md knob table);
+    # 0 disables compaction (exact dense path).
     sample_budget: Optional[int] = None
     distortion_loss_w: float = 0.0
     # Write a jax.profiler trace of one training chunk to this directory
@@ -298,4 +300,25 @@ def load_config(path_or_dict: Union[str, Dict[str, Any]], **overrides) -> Config
     cfg = Config(**kwargs)
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    return cfg
+
+
+def apply_cli_overrides(cfg: Config, overrides: List[str]) -> Config:
+    """Apply ``GROUP.KEY=VALUE`` CLI override strings in place (values are
+    parsed as JSON when possible, kept as strings otherwise).  Shared by
+    the run / run_ablation / run_optimization entry points."""
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        group, _, fld = key.partition(".")
+        try:
+            val = json.loads(val)
+        except (ValueError, json.JSONDecodeError):
+            pass  # keep as string
+        if fld and not hasattr(cfg, group):
+            raise SystemExit(f"unknown config group: {group}")
+        tgt = getattr(cfg, group) if fld else cfg
+        name = fld or group
+        if not hasattr(tgt, name):
+            raise SystemExit(f"unknown config field: {key}")
+        setattr(tgt, name, val)
     return cfg

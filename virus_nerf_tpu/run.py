@@ -14,7 +14,11 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from virus_nerf_tpu.configs.config import Config, load_config
+from virus_nerf_tpu.configs.config import (
+    Config,
+    apply_cli_overrides,
+    load_config,
+)
 from virus_nerf_tpu.data import make_dataset
 from virus_nerf_tpu.evaluation import Evaluator
 from virus_nerf_tpu.training import Trainer
@@ -134,22 +138,7 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else Config()
     if args.seed is not None:
         cfg.seed = args.seed
-    for ov in args.override:
-        key, _, val = ov.partition("=")
-        group, _, field = key.partition(".")
-        import json as _json
-
-        try:
-            val = _json.loads(val)
-        except (ValueError, _json.JSONDecodeError):
-            pass  # keep as string
-        if field and not hasattr(cfg, group):
-            raise SystemExit(f"unknown config group: {group}")
-        tgt = getattr(cfg, group) if field else cfg
-        name = field or group
-        if not hasattr(tgt, name):
-            raise SystemExit(f"unknown config field: {key}")
-        setattr(tgt, name, val)
+    apply_cli_overrides(cfg, args.override)
     save_dir = args.save_dir or cfg.make_save_dir()
     metrics = train_and_evaluate(cfg, save_dir=save_dir)
     nerf = metrics.get("NeRF", {})

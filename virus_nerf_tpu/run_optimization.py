@@ -14,7 +14,11 @@ import argparse
 
 import numpy as np
 
-from virus_nerf_tpu.configs.config import Config, load_config
+from virus_nerf_tpu.configs.config import (
+    Config,
+    apply_cli_overrides,
+    load_config,
+)
 from virus_nerf_tpu.data import make_dataset
 from virus_nerf_tpu.optimization import run_optimization
 from virus_nerf_tpu.run import train_and_evaluate
@@ -58,9 +62,19 @@ def main(argv=None):
     p.add_argument("--lease-ttl", type=float, default=3600.0,
                    help="seconds before a worker's claimed particle is "
                         "re-queued (worker mode)")
+    p.add_argument(
+        "--override", action="append", default=[], metavar="GROUP.KEY=VALUE",
+        help="config override, e.g. training.max_steps=500 (repeatable)",
+    )
     args = p.parse_args(argv)
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     cfg = load_config(args.config) if args.config else Config()
+    apply_cli_overrides(cfg, args.override)
     lims = args.hparams_lims or DEFAULT_LIMS
 
     # datasets built ONCE, reused across particles

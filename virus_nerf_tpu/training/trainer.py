@@ -81,6 +81,7 @@ class Trainer:
             pos_encoder_type=cfg.model.encoder_type,
             hash_variant=cfg.model.hash_variant,
             levels=cfg.model.hash_levels,
+            feature_per_level=cfg.model.hash_features_per_level,
             log2_T=cfg.model.hash_log2_T,
             base_res=cfg.model.hash_base_res,
             max_res=cfg.model.hash_max_res,
@@ -219,7 +220,17 @@ class Trainer:
         n_candidates = cfg.training.march_candidates
         march_resolution = cfg.training.march_resolution
         sample_budget = cfg.training.sample_budget
-        if sample_budget is not None:
+        if sample_budget is None:
+            # framework default ("auto"): compact the (batch, S) layout to
+            # 32 samples/ray before the model runs — the exact
+            # no-compaction anchor lands inside the spr=32 seed band on
+            # every metric (BASELINE.md knob table), and uncompacted dense
+            # layouts cost up to S/32 x in encoder gathers.  Explicit
+            # sample_budget=0 opts out (exact dense path).
+            sample_budget = cfg.training.batch_size * min(32, max_samples)
+        if sample_budget <= 0:
+            sample_budget = None
+        else:
             sample_budget = max(1, sample_budget // n_shards)
         use_time = cfg.training.real_time_simulation
 
