@@ -52,6 +52,40 @@ def test_budget_covers_all_matches_dense():
     )
 
 
+def test_budget_covers_all_matches_dense_esf():
+    """Exponential-stepping / multi-cascade counterpart of the covering-
+    budget equivalence: the compacted stream path must reproduce the dense
+    render exactly at exp_step_factor > 0 too (its deltas vary per sample
+    and ride the valid-first sort)."""
+    model = NGPModel(scale=1.0, levels=4, log2_T=13, max_res=64, grid_size=32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(rng.random((2, 32**3)) < 0.3)
+    n = 64
+    th = np.linspace(0, 2 * np.pi, n)
+    rays_o = jnp.zeros((n, 3), jnp.float32)
+    rays_d = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), 0.1 * np.sin(3 * th)], 1),
+        jnp.float32,
+    )
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(1)
+    kwargs = dict(
+        exp_step_factor=1 / 256, max_samples=128, n_candidates=512,
+        jitter=False,
+    )
+    dense = render_rays(model, params, occ, rays_o, rays_d, key, **kwargs)
+    comp = render_rays(
+        model, params, occ, rays_o, rays_d, key,
+        sample_budget=64 * 128, **kwargs
+    )
+    assert int(comp["overflow"]) == 0
+    for k in ("rgb", "depth", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(comp[k]), np.asarray(dense[k]), atol=1e-5
+        )
+
+
 def test_small_budget_overflows_but_finite():
     model, params, occ, rays_o, rays_d = _setup()
     key = jax.random.PRNGKey(1)

@@ -330,6 +330,7 @@ def test_payload_mc_matches_exact(rng, monkeypatch, scale, cascades,
         rm, "build_group_payload",
         lambda *a: (calls.append(1), real_build(*a))[1],
     )
+    monkeypatch.setenv("VNERF_PAYLOAD_MC", "1")  # env-gated (r5 falsified)
     pay = march_rays_train(*args, **kw)
     assert calls, "payload_mc path was not taken (gate vacuous)"
 

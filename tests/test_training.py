@@ -117,6 +117,34 @@ def _tiny_config(grid_type="occ", **training_overrides):
     return cfg
 
 
+def test_sample_budget_auto_default(monkeypatch):
+    """sample_budget=None resolves to the auto default (batch * min(spr,
+    S)), 0 opts out to the dense path, explicit values pass through —
+    pinned by observing what render_rays receives from the chunk body."""
+    import virus_nerf_tpu.training.trainer as tr_mod
+
+    seen = {}
+    real_render = tr_mod.render_rays
+
+    def spy(*a, **kw):
+        seen["sample_budget"] = kw.get("sample_budget")
+        return real_render(*a, **kw)
+
+    monkeypatch.setattr(tr_mod, "render_rays", spy)
+    dataset, scene, info = make_synthetic_dataset(n_images=4, img_wh=(32, 24))
+    for budget, scale, expect in [
+        (None, 0.5, 256 * 32),  # auto, constant-dt (S=48 > 32 -> spr 32)
+        (None, 1.0, None),  # auto, exponential stepping: dense (ref parity)
+        (0, 0.5, None),  # explicit opt-out: dense path
+        (512, 0.5, 512),  # explicit value passes through
+    ]:
+        cfg = _tiny_config("occ", max_steps=1, sample_budget=budget)
+        cfg.model.scale = scale
+        trainer = Trainer(cfg, dataset, scene=scene)
+        trainer.train()
+        assert seen["sample_budget"] == expect, (budget, scale, seen)
+
+
 @pytest.mark.parametrize("grid_type", ["occ", "ngp"])
 def test_train_loop_decreases_loss(grid_type):
     # the ngp variant runs the slower per-step path (its warmup pass changes

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--samples-per-ray", type=int, default=32,
                    help="compaction budget per ray (stream = batch * this)")
     p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--hash-levels", type=int, default=8)
+    p.add_argument("--hash-feats", type=int, default=4)
     p.add_argument("--chunk", type=int, default=24)
     p.add_argument("--top", type=int, default=45)
     p.add_argument("--trace-dir", default="/tmp/jaxtrace")
@@ -48,7 +50,8 @@ def main():
     cfg = Config()
     cfg.model.grid_type = "occ"
     cfg.model.grid_size = 128
-    cfg.model.hash_levels = 16
+    cfg.model.hash_levels = args.hash_levels
+    cfg.model.hash_features_per_level = args.hash_feats
     cfg.model.hash_log2_T = 19
     cfg.model.hash_max_res = 1024
     cfg.training.batch_size = args.batch_size

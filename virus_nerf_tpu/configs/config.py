@@ -92,9 +92,11 @@ class TrainingConfig:
     march_resolution: int = 1024
     # Global compacted-sample budget per batch: the model runs only on this
     # many (valid-first) samples of the (batch_size, max_samples_per_ray)
-    # layout.  None = "auto" (batch_size * min(32, max_samples_per_ray) —
-    # quality-validated vs the exact dense path, BASELINE.md knob table);
-    # 0 disables compaction (exact dense path).
+    # layout.  None = "auto": batch_size * min(32, max_samples_per_ray) for
+    # constant-dt configs (quality-validated vs the exact dense path,
+    # BASELINE.md knob table), dense for exponential-stepping configs
+    # (cutting their ~100+-sample rays redistributes mapping accuracy —
+    # RH2 sweep, BASELINE.md round 5).  0 disables compaction explicitly.
     sample_budget: Optional[int] = None
     distortion_loss_w: float = 0.0
     # Write a jax.profiler trace of one training chunk to this directory

@@ -221,13 +221,22 @@ class Trainer:
         march_resolution = cfg.training.march_resolution
         sample_budget = cfg.training.sample_budget
         if sample_budget is None:
-            # framework default ("auto"): compact the (batch, S) layout to
-            # 32 samples/ray before the model runs — the exact
-            # no-compaction anchor lands inside the spr=32 seed band on
-            # every metric (BASELINE.md knob table), and uncompacted dense
-            # layouts cost up to S/32 x in encoder gathers.  Explicit
-            # sample_budget=0 opts out (exact dense path).
-            sample_budget = cfg.training.batch_size * min(32, max_samples)
+            # framework default ("auto"): for constant-dt configs
+            # (exp_step_factor == 0) compact the (batch, S) layout to 32
+            # samples/ray before the model runs — the exact no-compaction
+            # anchor lands inside the spr=32 seed band on every metric
+            # (BASELINE.md knob table), and uncompacted dense layouts cost
+            # up to S/32 x in encoder gathers.  Exponential-stepping
+            # configs (scale > 0.5) stay DENSE by default: their rays carry
+            # ~100+ lattice samples and cutting them measurably
+            # redistributes mapping accuracy (RH2 sweep, BASELINE.md round
+            # 5 — zone2 degrades ~1.6-1.9x while zone3 improves, at 2-4x
+            # speed).  sample_budget is the explicit speed knob either way;
+            # 0 opts out of compaction entirely.
+            if esf == 0.0:
+                sample_budget = cfg.training.batch_size * min(32, max_samples)
+            else:
+                sample_budget = 0
         if sample_budget <= 0:
             sample_budget = None
         else:
