@@ -131,6 +131,33 @@ def test_overflow_subsamples_every_ray():
     assert np.corrcoef(c_op[has], d_op[has])[0, 1] > 0.9
 
 
+def test_evaluator_budget_matches_dense():
+    """evaluation.sample_budget with a covering budget must leave test
+    renders exact (the dense parity path is the default; the budget is
+    the documented e2e eval-speed knob)."""
+    from virus_nerf_tpu.configs.config import Config
+    from virus_nerf_tpu.data import make_synthetic_dataset
+    from virus_nerf_tpu.evaluation import Evaluator
+
+    model, params, occ, rays_o, rays_d = _setup()
+    cfg = Config()
+    cfg.model.grid_size = 32
+    cfg.evaluation.batch_size = 64
+    cfg.evaluation.max_samples_per_ray = 32
+    cfg.training.march_candidates = 256
+    ds, scene, info = make_synthetic_dataset(n_images=2, img_wh=(16, 12))
+
+    ev = Evaluator(model, cfg, ds, scene, img_wh=info["img_wh"])
+    dense = ev.render_batched(
+        params, occ, np.asarray(rays_o), np.asarray(rays_d))
+    cfg.evaluation.sample_budget = 64 * 32  # covering
+    ev2 = Evaluator(model, cfg, ds, scene, img_wh=info["img_wh"])
+    comp = ev2.render_batched(
+        params, occ, np.asarray(rays_o), np.asarray(rays_d))
+    for k in ("rgb", "depth", "opacity"):
+        np.testing.assert_allclose(comp[k], dense[k], atol=1e-5)
+
+
 def test_gradients_flow_through_compaction():
     model, params, occ, rays_o, rays_d = _setup()
     key = jax.random.PRNGKey(1)

@@ -128,6 +128,13 @@ class EvaluationConfig:
     save_nerf_pointclouds: bool = False
     # TPU addition: per-ray sample budget at test time.
     max_samples_per_ray: int = 512
+    # TPU addition: compacted-sample budget for TEST renders (same
+    # semantics as training.sample_budget; None = dense parity path).
+    # With a covering budget the compacted render is exact
+    # (tests/test_compaction.py equivalences) and cuts the dense
+    # (batch, S) model cost ~S/spr x — the mid-train eval cadence and
+    # final evaluation dominate e2e wall clock (BASELINE.md round 5).
+    sample_budget: Optional[int] = None
 
 
 @dataclass

@@ -69,6 +69,9 @@ class Evaluator:
             max_samples = self.cfg.evaluation.max_samples_per_ray
             n_candidates = self.cfg.training.march_candidates
             march_resolution = self.cfg.training.march_resolution
+            sample_budget = self.cfg.evaluation.sample_budget
+            if sample_budget is not None and sample_budget <= 0:
+                sample_budget = None
 
             @jax.jit
             def render_chunk(params, occ_bool, rays_o, rays_d):
@@ -78,6 +81,7 @@ class Evaluator:
                     exp_step_factor=esf, max_samples=max_samples,
                     n_candidates=n_candidates, jitter=False,
                     march_resolution=march_resolution,
+                    sample_budget=sample_budget,
                 )
                 return {
                     "rgb": out["rgb"], "depth": out["depth"],
