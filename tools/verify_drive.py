@@ -35,6 +35,25 @@ dep = np.asarray(out.depth); op = np.asarray(out.opacity)
 print(f'shell: depth mean={dep.mean():.4f} std={dep.std():.4f} op_min={op.min():.4f}')
 assert abs(dep.mean() - 0.31) < 0.02 and dep.std() < 0.01 and op.min() > 0.99
 
+# multi-cascade / exponential-stepping shell (per-cascade grid extents)
+sc = 1.0; rr = 0.45
+def shell_grid(bound):
+    axb = (np.arange(gs) + 0.5) / gs * 2 * bound - bound
+    Xb, Yb, Zb = np.meshgrid(axb, axb, axb, indexing='ij')
+    rb = np.sqrt(Xb**2 + Yb**2 + Zb**2)
+    return (np.abs(rb - rr) < 2.0 * 2 * bound / gs).reshape(-1)
+occ_mc = jnp.asarray(np.stack([shell_grid(0.5), shell_grid(1.0)]))
+hits_mc = ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d), sc)
+m_mc = march_rays_train(jnp.asarray(o), jnp.asarray(d), hits_mc, occ_mc,
+    jnp.zeros(n), cascades=2, grid_size=gs, scale=sc, exp_step_factor=1/256,
+    max_samples=256, n_candidates=1024)
+sig_mc = jnp.where(m_mc.valid, 800.0, 0.0)
+out_mc = composite_rays(sig_mc, jnp.ones(m_mc.xyzs.shape), m_mc.deltas,
+                        m_mc.ts, m_mc.valid, T_threshold=1e-4)
+dep_mc = np.asarray(out_mc.depth)
+print(f'mc shell: depth mean={dep_mc.mean():.4f} std={dep_mc.std():.4f}')
+assert abs(dep_mc.mean() - rr) < 0.05 and dep_mc.std() < 0.03
+
 o2 = np.full((4,3), 2.0, np.float32)
 h2 = np.asarray(ray_aabb_intersect(jnp.asarray(o2), jnp.asarray(d[:4]), 0.5))
 assert (h2 == -1).all(), h2
