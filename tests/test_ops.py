@@ -163,6 +163,61 @@ class TestHashEncoder:
         packed = np.asarray(hash_encode(table, xyz, spec))
         np.testing.assert_allclose(packed, base, rtol=0, atol=1.0 / 128)
 
+    @pytest.mark.parametrize("levels,feat", [(8, 4), (16, 2), (4, 8)])
+    def test_packed_slab_direct_bit_exact(self, rng, levels, feat):
+        """`_packed_slab_direct` (VNERF_PACK_DIRECT: packed gather slabs
+        built without the wide intermediate) must be BIT-identical to the
+        bf16 wide build + pack reshape on every packable level."""
+        import virus_nerf_tpu.ops.hash_encoder as he
+
+        spec = HashGridSpec.create(
+            levels=levels, feat_dim=feat, base_res=4, max_res=64,
+            max_params=2**12,
+        )
+        table = jnp.asarray(
+            rng.random((spec.total_rows, feat)).astype(np.float32)
+        )
+        wdt = 8 * feat
+        P = 128 // wdt
+        checked = 0
+        for lvl in range(spec.levels):
+            s = spec.sizes[lvl]
+            if s % P or 128 % wdt:
+                continue
+            slab = jax.lax.dynamic_slice_in_dim(
+                table, spec.offsets[lvl], s, axis=0
+            )
+            wide = slab.astype(jnp.bfloat16)
+            for stride in (1, spec.stride_y[lvl], spec.stride_z[lvl]):
+                wide = jnp.concatenate(
+                    [wide, jnp.roll(wide, -int(stride % s), axis=0)], axis=1
+                )
+            want = np.asarray(wide.reshape(s // P, P * wdt))
+            got = np.asarray(he._packed_slab_direct(slab, spec, lvl).arr)
+            np.testing.assert_array_equal(got, want)
+            checked += 1
+        assert checked > 0
+
+    def test_pack_direct_encode_matches_packed(self, rng, monkeypatch):
+        """End to end with VNERF_PACK_DIRECT=1: hash_encode must equal the
+        wide-build packed path exactly (both round to bf16; the direct
+        build is a pure permutation of the same values)."""
+        import virus_nerf_tpu.ops.hash_encoder as he
+
+        spec = HashGridSpec.create(
+            levels=8, feat_dim=4, base_res=4, max_res=64, max_params=2**10
+        )
+        table = jnp.asarray(
+            rng.random((spec.total_rows, 4)).astype(np.float32)
+        )
+        xyz = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+        monkeypatch.setattr(he, "_PACK_MIN_ROWS", 8)
+        base = np.asarray(hash_encode(table, xyz, spec))
+        monkeypatch.setenv("VNERF_PACK_DIRECT", "1")
+        monkeypatch.setattr(he, "tpu_kernels_enabled", lambda: True)
+        direct = np.asarray(hash_encode(table, xyz, spec))
+        np.testing.assert_array_equal(direct, base)
+
     def test_packed_ci_gather_matches_wide_gather(self, rng):
         """The corner-major packed gather (`_gather_rows_packed_ci`,
         consuming the widen-pack kernel's [c, i, f] lane layout) must

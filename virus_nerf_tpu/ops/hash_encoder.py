@@ -247,6 +247,67 @@ class PackedCI:
         self.arr = arr
 
 
+class PackedRows:
+    """A ready-made packed bf16 gather slab: (size/P, 128) rows in the
+    plain q = r // P row order with lanes [j, c, f] (j = r % P) — the
+    exact layout `_gather_rows_packed_bf16` derives from a wide slab, but
+    built directly in packed space (`_packed_slab_direct`)."""
+
+    __slots__ = ("arr", "wdt")
+
+    def __init__(self, arr, wdt):
+        self.arr = arr
+        self.wdt = wdt
+
+
+def _packed_slab_direct(slab, spec: HashGridSpec, lvl: int):
+    """Build the packed bf16 gather slab for one packable level WITHOUT
+    the wide (s, 8F) intermediate and its row-major pack relayout.
+
+    Target layout (what `_gather_rows_packed_bf16` reads):
+        out[q, j*8F + c*F + f] = bf16(T[(P*q + j + o_c) mod s, f])
+    Construction: cast the narrow slab to bf16, reshape to the packed
+    narrow view npk (s/P, P*F) (a relayout of s*F elements — 1/8 of the
+    wide relayout this replaces), then per corner offset o_c = P*a + b:
+    lanes j < P-b read roll(npk, -a) at lane block j+b, lanes j >= P-b
+    read roll(npk, -(a+1)) at lane block j+b-P — two row-rolls + one
+    static lane concat per corner, and a static [c,j,f] -> [j,c,f] lane
+    interleave at the end.  Pure permutations of the same bf16 values as
+    the roll-built wide slab: BIT-identical by construction (tested).
+    """
+    s = spec.sizes[lvl]
+    F = spec.feat_dim
+    wdt = 8 * F
+    P = 128 // wdt
+    npk = slab.astype(jnp.bfloat16).reshape(s // P, P * F)
+    corners = []
+    for c in range(8):
+        o = int(spec.corner_offsets[lvl, c])
+        a, b = o // P, o % P
+        A = jnp.roll(npk, -a, axis=0)
+        if b == 0:
+            corners.append(A)
+        else:
+            B = jnp.roll(npk, -(a + 1), axis=0)
+            corners.append(
+                jnp.concatenate([A[:, b * F:], B[:, : b * F]], axis=1)
+            )
+    blocks = []
+    for j in range(P):
+        blocks.extend(cc[:, j * F : (j + 1) * F] for cc in corners)
+    return PackedRows(jnp.concatenate(blocks, axis=1), wdt)
+
+
+def _pack_direct_on() -> bool:
+    # Experimental (VNERF_PACK_DIRECT=1): emit packable levels' gather
+    # slabs straight in packed space, skipping the wide intermediate +
+    # pack relayout (~4.1 ms/step in-train at 16x2, round-4 trace).
+    return (
+        tpu_kernels_enabled()
+        and os.environ.get("VNERF_PACK_DIRECT", "0") == "1"
+    )
+
+
 def _pack_kernel_on() -> bool:
     # Default OFF: the widen-pack kernel is bit-exact but LOSES in-train
     # (58.2k vs 116.9k rays/s on the bench config) — the int32 bit-pair
@@ -288,6 +349,7 @@ def build_wide_slabs(table, spec: HashGridSpec):
     # pay the row-major unflatten here
     table2d = table if table.ndim == 2 else table.reshape(spec.total_rows, F)
     use_pack_kernel = _pack_kernel_on() and table2d.dtype == jnp.float32
+    use_pack_direct = _pack_direct_on()
     corner_offs = spec.corner_offsets if use_pack_kernel else None
     slabs = [None] * spec.levels
     for size, _sy, _sz, lvls in _same_size_level_groups(spec):
@@ -310,6 +372,13 @@ def build_wide_slabs(table, spec: HashGridSpec):
             s = spec.sizes[lvl]
             o = spec.offsets[lvl]
             slab = jax.lax.dynamic_slice_in_dim(table2d, o, s, axis=0)
+            if (
+                use_pack_direct
+                and slab.dtype == jnp.float32
+                and _packable_size(s, F)
+            ):
+                slabs[lvl] = _packed_slab_direct(slab, spec, lvl)
+                continue
             if slab.dtype == jnp.float32 and _packable_size(s, F):
                 # levels served by the packed bf16 gather build their
                 # widened slab in bf16 from the start: rolls are pure
@@ -359,6 +428,21 @@ def _gather_rows_packed_bf16(slab, rows_local):
     q = rows_local // P
     j = rows_local % P
     gp = jnp.take(packed, q, axis=0, mode="clip")  # (N, 128)
+    sel = (
+        j[:, None] == jnp.arange(P, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)  # (N, P)
+    return jnp.einsum("nj,njf->nf", sel, gp.reshape(n, P, wdt))
+
+
+def _gather_rows_prebuilt(pr: "PackedRows", rows_local):
+    """Row gather from a `PackedRows` slab (same one-hot select as
+    `_gather_rows_packed_bf16`, minus the pack construction)."""
+    wdt = pr.wdt
+    P = 128 // wdt
+    n = rows_local.shape[0]
+    q = rows_local // P
+    j = rows_local % P
+    gp = jnp.take(pr.arr, q, axis=0, mode="clip")  # (N, 128)
     sel = (
         j[:, None] == jnp.arange(P, dtype=jnp.int32)
     ).astype(jnp.bfloat16)  # (N, P)
@@ -432,7 +516,9 @@ def _fused_gather_combine(slabs, rows, w, spec: HashGridSpec):
     outs = []
     for lvl in range(spec.levels):
         local = rows[lvl] - spec.offsets[lvl]
-        if isinstance(slabs[lvl], PackedCI):
+        if isinstance(slabs[lvl], PackedRows):
+            g = _gather_rows_prebuilt(slabs[lvl], local)
+        elif isinstance(slabs[lvl], PackedCI):
             g = _gather_rows_packed_ci(slabs[lvl].arr, local, F)
         elif _packable(slabs[lvl], spec.sizes[lvl], F):
             g = _gather_rows_packed_bf16(slabs[lvl], local)  # (N, 8F) bf16
