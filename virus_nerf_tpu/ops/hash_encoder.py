@@ -299,9 +299,15 @@ def _packed_slab_direct(slab, spec: HashGridSpec, lvl: int):
 
 
 def _pack_direct_on() -> bool:
-    # Experimental (VNERF_PACK_DIRECT=1): emit packable levels' gather
-    # slabs straight in packed space, skipping the wide intermediate +
-    # pack relayout (~4.1 ms/step in-train at 16x2, round-4 trace).
+    # Default OFF: bit-identical to the wide build + pack, but FALSIFIED
+    # in-train (100.6k vs 176.4k rays/s on the 8x4 bench config) — the
+    # narrow-view double row-roll + static lane concat + [c,j,f]->[j,c,f]
+    # interleave are each relayouts of the SAME (size/P, 128) slab, and
+    # XLA cannot fuse them into the consuming gather, so the "skipped"
+    # wide intermediate is replaced by ~3 materialized packed-space
+    # copies.  Same lesson as widen-pack (round 4): the in-scan wide
+    # build+pack is already ~1.2 ms of well-fused work; layout tricks
+    # that add unfusable permutations lose.  tools/PERF_NOTES.md round 5.
     return (
         tpu_kernels_enabled()
         and os.environ.get("VNERF_PACK_DIRECT", "0") == "1"
