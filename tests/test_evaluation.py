@@ -211,6 +211,21 @@ class TestEvaluatorEndToEnd:
         # coverage direction exists and is finite
         assert np.isfinite(metrics["ToF"]["nn_mean_inv_360"]["zone3"])
 
+    def test_evaluate_num_color_pts_zero(self, setup):
+        """num_color_pts=0 — the reference's PSO eval protocol
+        (reference: run_optimization.py:29-33) — must skip color eval and
+        still produce the NND metrics the PSO scores on (regression: the
+        empty render list crashed np.stack)."""
+        cfg, ds, scene, trainer, state, ev = setup
+        metrics = ev.evaluate(
+            state.params, state.grid.occ_bool,
+            color_img_idxs=np.array([], int),
+            depth_img_idxs=np.array([0]),
+            sensors=("GT", "NeRF"),
+        )
+        assert np.isfinite(metrics["NeRF"]["nn_mean"]["zone3"])
+        assert np.isnan(metrics["NeRF"]["psnr"])
+
     def test_default_fov_limits_gt(self, setup):
         """evaluate_depth computes per-image robot FoV from poses by default
         (reference: training/trainer.py:401-434 + dataset getFieldOfView):

@@ -562,10 +562,16 @@ class Evaluator:
                 if s in ("GT", "NeRF") or s in ds.depths
             ]
 
-        color = self.evaluate_color(
-            params, occ_bool, color_img_idxs,
-            save_dir=os.path.join(save_dir, "renders") if save_dir else None,
-        )
+        if len(np.atleast_1d(color_img_idxs)) == 0:
+            # num_color_pts=0: skip color entirely — the reference's PSO
+            # protocol disables color eval this way
+            # (reference: run_optimization.py:32).
+            color = {"psnr": float("nan"), "ssim": float("nan")}
+        else:
+            color = self.evaluate_color(
+                params, occ_bool, color_img_idxs,
+                save_dir=os.path.join(save_dir, "renders") if save_dir else None,
+            )
         metrics_dict, data_dict = self.evaluate_depth(
             params, occ_bool, depth_img_idxs, sensors
         )
